@@ -1,0 +1,246 @@
+"""BRISK sampling-pattern lookup tables.
+
+Re-implements the pattern LUT generation of the reference
+(``brisk/src/brisk-descriptor-extractor.cc``):
+
+* v2: 66 base points read from the public pattern table
+  (``InitFromStream``, brisk-descriptor-extractor.cc:180-291), expanded to
+  64 scales x 1024 rotations, with per-point Gaussian sigmas, short/long
+  pair lists, and integer long-pair gradient weights ``dx/|d|^2 * 2048``.
+* v1: ring-generated pattern (``generateKernel``,
+  brisk-descriptor-extractor.cc:65-178) with distance-threshold derived
+  short/long pairs.
+
+Floating-point order of operations mirrors the C++ (float32 storage, float64
+trig) so sampled coordinates agree with the reference to the last ulp class.
+
+The LUT is built once on host (vectorized NumPy) and shipped to device as a
+constant; gathering rows by (scale, rotation) replaces the reference's
+pointer arithmetic.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+
+import numpy as np
+
+SCALES = 64          # brisk-descriptor-extractor.cc:58
+SCALERANGE = 30.0    # brisk-descriptor-extractor.cc:60
+N_ROT = 1024         # brisk-descriptor-extractor.cc:62
+BASIC_SIZE = 12.0    # brisk-descriptor-extractor.cc:57
+SIGMA_SCALE = np.float32(1.3)
+
+_PATTERN_NPZ = os.path.join(os.path.dirname(__file__), "brisk_v2_pattern.npz")
+
+
+@dataclasses.dataclass(frozen=True)
+class BriskPattern:
+    """Host-side pattern tables (NumPy); converted to jnp by the extractor.
+
+    Attributes:
+      lut_x, lut_y: (SCALES, N_ROT, P) f32 rotated/scaled point offsets.
+      lut_sigma: (SCALES, P) f32 per-point Gaussian half-widths (rotation
+        invariant, so no rotation axis).
+      scale_list: (SCALES,) f32 scale factors.
+      size_list: (SCALES,) i32 border sizes.
+      short_pairs, long_pairs: (S, 2)/(L, 2) i32 point-index pairs (i, j).
+      long_weights: (L, 2) i32 fixed-point gradient weights (dx, dy).
+      n_points: number of pattern points P.
+      descriptor_bits / descriptor_bytes: packed descriptor geometry.
+    """
+
+    lut_x: np.ndarray
+    lut_y: np.ndarray
+    lut_sigma: np.ndarray
+    scale_list: np.ndarray
+    size_list: np.ndarray
+    short_pairs: np.ndarray
+    long_pairs: np.ndarray
+    long_weights: np.ndarray
+
+    @property
+    def lut_scaling(self) -> np.ndarray:
+        """(S, P) i32: int(4194304.0 / area), area = 4*sigma^2 in float32.
+
+        Mirrors SmoothedIntensity's ``scaling``
+        (brisk-descriptor-extractor.cc:412); the double division and int
+        truncation are reproduced exactly on host.
+        """
+        area = np.float32(4.0) * self.lut_sigma * self.lut_sigma  # f32
+        return np.trunc(4194304.0 / area.astype(np.float64)).astype(np.int32)
+
+    @property
+    def lut_scaling2(self) -> np.ndarray:
+        """(S, P) i32: int(float(scaling) * area / 1024.0) (:413)."""
+        area = np.float32(4.0) * self.lut_sigma * self.lut_sigma
+        scaling_f = self.lut_scaling.astype(np.float32)
+        prod = (scaling_f * area).astype(np.float32)  # float multiply
+        return np.trunc(prod.astype(np.float64) / 1024.0).astype(np.int32)
+
+    @property
+    def n_points(self) -> int:
+        return self.lut_x.shape[-1]
+
+    @property
+    def descriptor_bits(self) -> int:
+        return int(self.short_pairs.shape[0])
+
+    @property
+    def descriptor_bytes(self) -> int:
+        # strings_ = ceil(bits / 128) * 16 (brisk-descriptor-extractor.cc:283)
+        return int(np.ceil(self.descriptor_bits / 128.0)) * 16
+
+    @property
+    def descriptor_words(self) -> int:
+        return self.descriptor_bytes // 4
+
+
+def _scale_list() -> np.ndarray:
+    # lb_scale_step is float in C++; scale * lb_scale_step is a float
+    # multiply; pow runs in double (brisk-descriptor-extractor.cc:200-220).
+    lb_scale = np.float32(np.log(SCALERANGE) / np.log(2.0))
+    lb_scale_step = np.float32(lb_scale / np.float32(SCALES))
+    exps = (
+        np.arange(SCALES, dtype=np.float32) * lb_scale_step
+    ).astype(np.float64)
+    return np.power(2.0, exps).astype(np.float32)
+
+
+def _expand(
+    u_x: np.ndarray, u_y: np.ndarray, u_sigma: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Expand base points to (scales, rots) LUT with reference fp semantics."""
+    scale_list = _scale_list()
+    n = u_x.shape[0]
+
+    theta = (
+        np.arange(N_ROT, dtype=np.float64) * 2.0 * np.pi / float(N_ROT)
+    )  # double in C++
+    cos_t = np.cos(theta)[None, :, None]  # (1, R, 1)
+    sin_t = np.sin(theta)[None, :, None]
+    sl = scale_list.astype(np.float64)[:, None, None]  # (S, 1, 1)
+    ux = u_x.astype(np.float64)[None, None, :]  # (1, 1, P)
+    uy = u_y.astype(np.float64)[None, None, :]
+
+    lut_x = (sl * (ux * cos_t - uy * sin_t)).astype(np.float32)
+    lut_y = (sl * (ux * sin_t + uy * cos_t)).astype(np.float32)
+
+    # sigma = (sigma_scale * scaleList[s]) * sigma[i], all float32 ops.
+    lut_sigma = (
+        (SIGMA_SCALE * scale_list)[:, None] * u_sigma[None, :]
+    ).astype(np.float32)  # (S, P)
+
+    # size = ceil(sqrt(x^2+y^2) + sigma) + 1, max over rot and point.
+    radius = np.sqrt(
+        lut_x.astype(np.float64) ** 2 + lut_y.astype(np.float64) ** 2
+    )
+    size = np.ceil(radius + lut_sigma[:, None, :].astype(np.float64)) + 1
+    size_list = size.reshape(SCALES, -1).max(axis=1).astype(np.int32)
+
+    return lut_x, lut_y, lut_sigma, scale_list, size_list
+
+
+def _long_pair_weights(
+    u_x: np.ndarray, u_y: np.ndarray, long_pairs: np.ndarray
+) -> np.ndarray:
+    # weighted = int(d/|d|^2 * 2048 + 0.5), truncation toward zero
+    # (brisk-descriptor-extractor.cc:273-280). dx = u[j] - u[i].
+    i, j = long_pairs[:, 0], long_pairs[:, 1]
+    dx = (u_x[j] - u_x[i]).astype(np.float32)
+    dy = (u_y[j] - u_y[i]).astype(np.float32)
+    norm_sq = (dx * dx + dy * dy).astype(np.float32)
+    wdx = np.trunc(
+        (dx.astype(np.float64) / norm_sq.astype(np.float64)) * 2048.0 + 0.5
+    ).astype(np.int32)
+    wdy = np.trunc(
+        (dy.astype(np.float64) / norm_sq.astype(np.float64)) * 2048.0 + 0.5
+    ).astype(np.int32)
+    return np.stack([wdx, wdy], axis=1)
+
+
+@functools.lru_cache(maxsize=4)
+def brisk_v2_pattern(pattern_scale: float = 1.0) -> BriskPattern:
+    """The default BRISK v2 pattern: 66 points, 384 short / 856 long pairs."""
+    data = np.load(_PATTERN_NPZ)
+    pts = data["points"]  # (66, 3) float64 from the text table
+    ps = np.float32(pattern_scale)
+    u_x = (pts[:, 0].astype(np.float32) * ps).astype(np.float32)
+    u_y = (pts[:, 1].astype(np.float32) * ps).astype(np.float32)
+    u_sigma = (pts[:, 2].astype(np.float32) * ps).astype(np.float32)
+
+    lut_x, lut_y, lut_sigma, scale_list, size_list = _expand(u_x, u_y, u_sigma)
+    long_pairs = data["long_pairs"].astype(np.int32)
+    return BriskPattern(
+        lut_x=lut_x,
+        lut_y=lut_y,
+        lut_sigma=lut_sigma,
+        scale_list=scale_list,
+        size_list=size_list,
+        short_pairs=data["short_pairs"].astype(np.int32),
+        long_pairs=long_pairs,
+        long_weights=_long_pair_weights(u_x, u_y, long_pairs),
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def brisk_v1_pattern(pattern_scale: float = 1.0) -> BriskPattern:
+    """The legacy BRISK 1.0 ring pattern (generateKernel semantics).
+
+    Rings r = 0.85*patternScale*{0, 2.9, 4.9, 7.4, 10.8} with
+    {1, 10, 14, 15, 20} points; short pairs |d| < 5.85, long pairs
+    |d| > 8.2 (brisk-descriptor-extractor.cc:316-339).
+    """
+    f = 0.85 * pattern_scale
+    radius_list = np.array([0.0, 2.9, 4.9, 7.4, 10.8], np.float64) * f
+    number_list = np.array([1, 10, 14, 15, 20], np.int64)
+    d_max, d_min = np.float32(5.85), np.float32(8.2)
+
+    # Base points at rotation 0, scale 1 (alpha = num * 2pi / n_ring).
+    u_x, u_y, u_sigma = [], [], []
+    for r, n in zip(radius_list, number_list):
+        alpha = np.arange(n, dtype=np.float64) * 2.0 * np.pi / float(n)
+        u_x.extend(np.float32(r) * np.cos(alpha))
+        u_y.extend(np.float32(r) * np.sin(alpha))
+        if r == 0.0:
+            sig = 1.3 * 0.5  # sigma_scale * scale * 0.5 at scale=1
+            u_sigma.extend([sig] * int(n))
+        else:
+            u_sigma.extend([1.3 * r * np.sin(np.pi / n)] * int(n))
+    u_x = np.asarray(u_x, np.float32)
+    u_y = np.asarray(u_y, np.float32)
+    # Note: v1 sigmas fold sigma_scale already (see generateKernel:110-115),
+    # so divide it back out before the shared expansion re-applies it.
+    u_sigma = (np.asarray(u_sigma, np.float32) / SIGMA_SCALE).astype(
+        np.float32
+    )
+
+    # Pairs over all i>j by distance thresholds at scale 1, rot 0.
+    n = len(u_x)
+    ii, jj = np.tril_indices(n, k=-1)  # i > j
+    dx = u_x[jj] - u_x[ii]
+    dy = u_y[jj] - u_y[ii]
+    norm_sq = dx * dx + dy * dy
+    short_mask = norm_sq < d_max * d_max
+    long_mask = norm_sq > d_min * d_min
+    short_pairs = np.stack([ii[short_mask], jj[short_mask]], 1).astype(
+        np.int32
+    )
+    long_pairs = np.stack([ii[long_mask], jj[long_mask]], 1).astype(np.int32)
+
+    lut_x, lut_y, lut_sigma, scale_list, size_list = _expand(u_x, u_y, u_sigma)
+
+    # v1 long weights use dx = u[j] - u[i] convention of generateKernel
+    # (same as _long_pair_weights with (i, j) columns).
+    lw = _long_pair_weights(u_x, u_y, long_pairs)
+    return BriskPattern(
+        lut_x=lut_x,
+        lut_y=lut_y,
+        lut_sigma=lut_sigma,
+        scale_list=scale_list,
+        size_list=size_list,
+        short_pairs=short_pairs,
+        long_pairs=long_pairs,
+        long_weights=lw,
+    )

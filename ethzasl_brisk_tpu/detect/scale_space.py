@@ -1,0 +1,268 @@
+"""BRISK v2 generic scale-space detection (Harris path), TPU-native.
+
+Mirrors ``ScaleSpaceFeatureDetector<SCORE_CALCULATOR_T>`` +
+``ScaleSpaceLayer`` (``brisk/include/brisk/scale-space-feature-detector.h:62-136``,
+``internal/scale-space-layer-inl.h:60-428``) with a dense, statically-shaped
+design:
+
+* pyramid: layer 0 = input; layer 1 = two-thirds sample; layer i>=2 =
+  half-sample of layer i-2 (scale-space-layer-inl.h:107-136);
+* dense score maps per layer (Harris int path by default);
+* 2-D maxima: dense 3x3 max-pool comparison (== Get2dMaxima);
+* 3-D suppression: the reference evaluates the neighbor layers' score maps
+  with bilinear interpolation at affine-mapped coordinates
+  (ScoreAbove/ScoreBelow, scale-space-layer-inl.h:431-442). The affine maps
+  are exact rationals (e.g. u = (4x-1)/6 for octave -> intra), so we compare
+  ``center * D^2`` against integer-weighted bilinear sums in int64 — exact,
+  no floating-point warp. The reference's truncated offsets
+  (``const int one_over_scale_above = 1.0/_scale_above`` == 1, ``..._below``
+  == 0, scale-space-layer-inl.h:225-226) make the above-check a 3x3
+  neighborhood max of the warped map and the below-check a single sample;
+* top-k candidate extraction (score-descending == the reference's sort);
+* greedy uniformity enforcement / bucketing (see uniformity.py);
+* sub-pixel quadratic refinement and coordinate un-mapping
+  ``x = scale*((x+dx)+offset)`` (scale-space-layer-inl.h:394-412).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ethzasl_brisk_tpu.core.keypoints import KeyPoints
+from ethzasl_brisk_tpu.detect.subpixel import subpixel2d
+from ethzasl_brisk_tpu.detect.uniformity import (
+    bucket_keypoints,
+    enforce_uniformity,
+)
+from ethzasl_brisk_tpu.kernels.downsample import halfsample8, twothirdsample8
+from ethzasl_brisk_tpu.kernels.harris import harris_score_i32
+from ethzasl_brisk_tpu.kernels.nms import maxima2d_mask
+
+INT32_MIN = -(2**31)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerGeometry:
+    """Static geometry of one pyramid layer."""
+
+    index: int
+    is_octave: bool
+    scale: float
+    offset: float
+
+    # Exact-rational affine map u -> (A*u + B) / D into the neighbor layer
+    # (see module docstring). Derived from _scale_above/_offset_above and
+    # _scale_below/_offset_below (scale-space-layer-inl.h:143-156).
+    @property
+    def above_map(self) -> tuple[int, int, int]:
+        return (4, -1, 6) if self.is_octave else (6, -1, 8)
+
+    @property
+    def below_map(self) -> tuple[int, int, int]:
+        return (12, 2, 9) if self.is_octave else (24, 3, 16)
+
+
+def layer_geometry(index: int) -> LayerGeometry:
+    is_octave = index % 2 == 0
+    scale = float(2 ** (index // 2)) * (1.0 if is_octave else 1.5)
+    return LayerGeometry(
+        index=index,
+        is_octave=is_octave,
+        scale=scale,
+        offset=scale * 0.5 - 0.5,
+    )
+
+
+def build_pyramid(img: jnp.ndarray, n_layers: int) -> list[jnp.ndarray]:
+    """Layer images: [img, 2/3(img), 1/2(img), 1/2(layer1), ...]."""
+    layers = [img]
+    if n_layers > 1:
+        layers.append(twothirdsample8(img))
+    for i in range(2, n_layers):
+        layers.append(halfsample8(layers[i - 2]))
+    return layers
+
+
+def _trunc_div(val: jnp.ndarray, d: int) -> jnp.ndarray:
+    """C-style truncating integer division by positive d."""
+    return jnp.where(val >= 0, val // d, -((-val) // d))
+
+
+def warp_scores_rational(
+    src_scores: jnp.ndarray,
+    affine: tuple[int, int, int],
+    dst_shape: tuple[int, int],
+) -> jnp.ndarray:
+    """D^2-scaled bilinear sample of a neighbor layer's score map.
+
+    Returns int64 (H_dst, W_dst) with out[y, x] = D^2 * Score(u, v) where
+    u = (A*x+B)/D, v = (A*y+B)/D; 0 where the reference's bilinear returns 0
+    (harris-score-calculator.h:57-74: u_int truncated toward zero, zero if
+    u_int+1 >= cols or v_int+1 >= rows or u_int < 0 or v_int < 0).
+    """
+    a, b, d = affine
+    rows, cols = src_scores.shape
+    h, w = dst_shape
+
+    def axis_terms(n, limit):
+        val = a * jnp.arange(n, dtype=jnp.int32) + b
+        i0 = _trunc_div(val, d)
+        frac = val - i0 * d  # numerator of the fractional part (x D)
+        ok = (i0 + 1 < limit) & (i0 >= 0)
+        i0c = jnp.clip(i0, 0, limit - 2)
+        return i0c, frac.astype(jnp.int64), ok
+
+    u0, fu, oku = axis_terms(w, cols)
+    v0, fv, okv = axis_terms(h, rows)
+
+    s = src_scores.astype(jnp.int64)
+    s00 = s[v0[:, None], u0[None, :]]
+    s01 = s[v0[:, None], u0[None, :] + 1]
+    s10 = s[v0[:, None] + 1, u0[None, :]]
+    s11 = s[v0[:, None] + 1, u0[None, :] + 1]
+
+    fu_ = fu[None, :]
+    fv_ = fv[:, None]
+    out = (d - fv_) * ((d - fu_) * s00 + fu_ * s01) + fv_ * (
+        (d - fu_) * s10 + fu_ * s11
+    )
+    valid = okv[:, None] & oku[None, :]
+    return jnp.where(valid, out, 0)
+
+
+def _maxpool3x3_i64(x: jnp.ndarray) -> jnp.ndarray:
+    p = jnp.pad(x, 1, constant_values=0)
+    h, w = x.shape
+    return jnp.max(
+        jnp.stack(
+            [
+                p[dy : dy + h, dx : dx + w]
+                for dy in (0, 1, 2)
+                for dx in (0, 1, 2)
+            ]
+        ),
+        axis=0,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Mirrors ScaleSpaceFeatureDetector ctor args
+    (scale-space-feature-detector.h:69-77)."""
+
+    octaves: int = 0
+    uniformity_radius: float = 30.0
+    absolute_threshold: float = 0.0
+    max_num_kpt: int = 2**31 - 1
+    # TPU-specific static capacity knobs.
+    max_candidates: int = 4096   # per-layer top-k capacity
+    max_keypoints: int = 4096    # output capacity (all layers combined)
+
+    @property
+    def n_layers(self) -> int:
+        return max(self.octaves * 2, 1)
+
+
+def detect_keypoints(
+    img: jnp.ndarray,
+    config: DetectorConfig,
+    score_fn: Callable[[jnp.ndarray], jnp.ndarray] = harris_score_i32,
+) -> KeyPoints:
+    """Full scale-space detection on one uint8 image. Jit-compatible."""
+    n_layers = config.n_layers
+    pyramid = build_pyramid(img, n_layers)
+    geoms = [layer_geometry(i) for i in range(n_layers)]
+    scores = [score_fn(im) for im in pyramid]
+    abs_thr = int(config.absolute_threshold)
+
+    per_layer: list[KeyPoints] = []
+    for i in range(n_layers):
+        sc = scores[i]
+        h, w = sc.shape
+        mask = maxima2d_mask(sc, abs_thr)
+
+        center_sq: jnp.ndarray | None = None
+        if i + 1 < n_layers:  # check above (3x3 neighborhood)
+            a, b, d = geoms[i].above_map
+            warped = warp_scores_rational(scores[i + 1], (a, b, d), (h, w))
+            neigh = _maxpool3x3_i64(warped)
+            mask &= sc.astype(jnp.int64) * (d * d) >= neigh
+        if i > 0:  # check below (single sample: truncated offset == 0)
+            a, b, d = geoms[i].below_map
+            warped = warp_scores_rational(scores[i - 1], (a, b, d), (h, w))
+            mask &= sc.astype(jnp.int64) * (d * d) >= warped
+
+        kps = _extract_layer_keypoints(sc, mask, geoms[i], config)
+        per_layer.append(kps)
+
+    return KeyPoints.concatenate(per_layer)
+
+
+def _extract_layer_keypoints(
+    sc: jnp.ndarray,
+    mask: jnp.ndarray,
+    geom: LayerGeometry,
+    config: DetectorConfig,
+) -> KeyPoints:
+    h, w = sc.shape
+    k = min(config.max_candidates, h * w)
+
+    masked = jnp.where(mask, sc, INT32_MIN)
+    top_scores, top_idx = jax.lax.top_k(masked.reshape(-1), k)
+    ys = top_idx // w
+    xs = top_idx % w
+    valid = jnp.take(mask.reshape(-1), top_idx)
+
+    if config.uniformity_radius > 0.0:
+        accept = enforce_uniformity(
+            xs,
+            ys,
+            top_scores,
+            valid,
+            rows=h,
+            cols=w,
+            radius=float(config.uniformity_radius),
+            max_num_kpt=min(config.max_num_kpt, k),
+        )
+    else:
+        accept = bucket_keypoints(
+            xs,
+            ys,
+            valid,
+            rows=h,
+            cols=w,
+            max_num_kpt=min(config.max_num_kpt, k),
+            num_buckets_u=1,
+            num_buckets_v=1,
+        )
+
+    # Sub-pixel refinement on every candidate (masked later): gather the
+    # 3x3 patch around each; patch[a, b] = Score(x+b-1, y+a-1), matching the
+    # reference's argument order (scale-space-layer-inl.h:394-402).
+    def gather_patch(x, y):
+        dx = jnp.arange(-1, 2)
+        xi = jnp.clip(x[:, None] + dx[None, :], 0, w - 1)  # (K, 3)
+        yi = jnp.clip(y[:, None] + dx[None, :], 0, h - 1)
+        return sc[yi[:, :, None], xi[:, None, :]]  # (K, 3y, 3x)
+
+    patches = gather_patch(xs, ys).astype(jnp.float32)
+    delta_x, delta_y, _ = subpixel2d(patches)
+
+    scale = jnp.float32(geom.scale)
+    offset = jnp.float32(geom.offset)
+    fx = scale * ((xs.astype(jnp.float32) + delta_x) + offset)
+    fy = scale * ((ys.astype(jnp.float32) + delta_y) + offset)
+
+    return KeyPoints(
+        x=fx,
+        y=fy,
+        size=jnp.full((k,), geom.scale * 12.0, jnp.float32),
+        angle=jnp.full((k,), -1.0, jnp.float32),
+        response=top_scores.astype(jnp.float32),
+        octave=jnp.full((k,), geom.index // 2, jnp.int32),
+        valid=accept,
+    )

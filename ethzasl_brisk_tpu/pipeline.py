@@ -1,0 +1,94 @@
+"""Top-level detect+describe facade (the reference's ``BriskFeature``).
+
+``BriskFeature`` = ``ScaleSpaceFeatureDetector<HarrisScoreCalculator>`` +
+``BriskDescriptorExtractor`` (``brisk/include/brisk/brisk-feature.h:54-114``).
+
+The jit boundary is per image shape: ``detect_and_compute`` traces once per
+(H, W) and is fully batchable with ``jax.vmap`` over a leading frame axis
+for the TPU data-parallel frame pipeline.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ethzasl_brisk_tpu.core.keypoints import KeyPoints
+from ethzasl_brisk_tpu.describe.extractor import BriskExtractor
+from ethzasl_brisk_tpu.detect.scale_space import (
+    DetectorConfig,
+    detect_keypoints,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BriskFeature:
+    """Composite detector+extractor with reference-equivalent knobs.
+
+    Mirrors BriskFeature(octaves, uniformityRadius, absoluteThreshold,
+    maxNumKpt, rotationInvariant, scaleInvariant, version)
+    (brisk-feature.h:56-62).
+    """
+
+    octaves: int = 0
+    uniformity_radius: float = 30.0
+    absolute_threshold: float = 0.0
+    max_num_kpt: int = 2**31 - 1
+    rotation_invariant: bool = True
+    scale_invariant: bool = True
+    version: str = "v2"
+    max_candidates: int = 4096
+    max_keypoints: int = 4096
+
+    def __post_init__(self):
+        object.__setattr__(
+            self,
+            "_config",
+            DetectorConfig(
+                octaves=self.octaves,
+                uniformity_radius=self.uniformity_radius,
+                absolute_threshold=self.absolute_threshold,
+                max_num_kpt=self.max_num_kpt,
+                max_candidates=self.max_candidates,
+                max_keypoints=self.max_keypoints,
+            ),
+        )
+        object.__setattr__(
+            self,
+            "_extractor",
+            BriskExtractor(
+                rotation_invariant=self.rotation_invariant,
+                scale_invariant=self.scale_invariant,
+                version=self.version,
+            ),
+        )
+
+    @property
+    def extractor(self) -> BriskExtractor:
+        return self._extractor
+
+    @property
+    def config(self) -> DetectorConfig:
+        return self._config
+
+    @property
+    def descriptor_bytes(self) -> int:
+        return self._extractor.descriptor_bytes
+
+    def detect(self, img: jnp.ndarray) -> KeyPoints:
+        return detect_keypoints(img, self._config)
+
+    def compute(
+        self, img: jnp.ndarray, keypoints: KeyPoints
+    ) -> tuple[KeyPoints, jnp.ndarray]:
+        return self._extractor(img, keypoints)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def detect_and_compute(
+        self, img: jnp.ndarray
+    ) -> tuple[KeyPoints, jnp.ndarray]:
+        """Detect keypoints and compute descriptors on one uint8 image."""
+        kps = self.detect(img)
+        return self.compute(img, kps)

@@ -1,0 +1,98 @@
+"""Kernel twin tests: jnp kernels vs independent scalar NumPy references.
+
+Mirrors the reference's unit-test strategy (SURVEY.md section 4): each SIMD
+kernel has a scalar twin (test-integral-image.cc, test-downsampling.cc).
+"""
+import numpy as np
+import pytest
+
+from ethzasl_brisk_tpu.kernels.downsample import halfsample8, twothirdsample8
+from ethzasl_brisk_tpu.kernels.harris import harris_score_i32
+from ethzasl_brisk_tpu.kernels.integral import integral_image_i32
+from ethzasl_brisk_tpu.kernels.nms import maxima2d_mask
+
+from . import np_reference as ref
+
+RNG = np.random.default_rng(42)
+
+
+def random_u8(h, w):
+    return RNG.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+class TestIntegralImage:
+    def test_matches_naive(self):
+        img = random_u8(37, 53)
+        got = np.asarray(integral_image_i32(img))
+        want = ref.integral_image(img)
+        np.testing.assert_array_equal(got, want)
+
+    def test_shape_and_border(self):
+        img = random_u8(8, 8)
+        got = np.asarray(integral_image_i32(img))
+        assert got.shape == (9, 9)
+        assert (got[0] == 0).all() and (got[:, 0] == 0).all()
+        assert got[-1, -1] == img.astype(np.int64).sum()
+
+
+class TestDownsampling:
+    @pytest.mark.parametrize("shape", [(20, 30), (37, 53), (64, 64)])
+    def test_halfsample(self, shape):
+        img = random_u8(*shape)
+        got = np.asarray(halfsample8(img))
+        want = ref.halfsample(img)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("shape", [(21, 30), (36, 54), (63, 63)])
+    def test_twothirdsample(self, shape):
+        img = random_u8(*shape)
+        got = np.asarray(twothirdsample8(img))
+        want = ref.twothirdsample(img)
+        np.testing.assert_array_equal(got, want)
+
+    def test_halfsample_saturation(self):
+        img = np.full((4, 4), 255, np.uint8)
+        got = np.asarray(halfsample8(img))
+        assert (got == 255).all()
+
+
+class TestHarris:
+    def test_matches_scalar(self):
+        img = random_u8(24, 31)
+        got = np.asarray(harris_score_i32(img))
+        want = ref.harris_scores(img)
+        np.testing.assert_array_equal(got, want)
+
+    def test_zero_border(self):
+        img = random_u8(16, 16)
+        got = np.asarray(harris_score_i32(img))
+        assert (got[:2] == 0).all() and (got[-2:] == 0).all()
+        assert (got[:, :2] == 0).all() and (got[:, -2:] == 0).all()
+
+
+class TestMaxima2d:
+    def test_simple_peak(self):
+        score = np.zeros((10, 10), np.int32)
+        score[5, 5] = 100
+        score[5, 6] = 50
+        mask = np.asarray(maxima2d_mask(score, 1))
+        assert mask[5, 5]
+        assert not mask[5, 6]
+
+    def test_border_excluded(self):
+        score = np.zeros((10, 10), np.int32)
+        score[1, 1] = 100
+        mask = np.asarray(maxima2d_mask(score, 1))
+        assert not mask.any()
+
+    def test_plateau_ties_survive(self):
+        score = np.zeros((10, 10), np.int32)
+        score[4:6, 4:6] = 7
+        mask = np.asarray(maxima2d_mask(score, 1))
+        assert mask[4:6, 4:6].all()
+
+    def test_threshold(self):
+        score = np.zeros((10, 10), np.int32)
+        score[5, 5] = 10
+        assert not np.asarray(maxima2d_mask(score, 11)).any()
+        assert np.asarray(maxima2d_mask(score, 10))[5, 5]
