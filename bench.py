@@ -1,0 +1,76 @@
+"""End-to-end throughput benchmark: detect+describe+match at 640x480.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+
+Baseline: the north-star target of 5000 frames/s/chip (BASELINE.json);
+the reference repo publishes no numbers of its own (SURVEY.md section 6).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TARGET_FPS = 5000.0
+H, W = 480, 640
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.parallel import FramePipeline, make_mesh
+    from ethzasl_brisk_tpu.pipeline import BriskFeature
+
+    batch = int(__import__("os").environ.get("BENCH_BATCH", "16"))
+    iters = int(__import__("os").environ.get("BENCH_ITERS", "20"))
+
+    feature = BriskFeature(
+        octaves=2,
+        uniformity_radius=0.0,
+        absolute_threshold=30.0,
+        max_candidates=512,
+        max_keypoints=512,
+    )
+    mesh = make_mesh(1, 1)
+    pipe = FramePipeline(feature=feature, mesh=mesh)
+    step = jax.jit(pipe.step)
+
+    rng = np.random.default_rng(7)
+    # Natural-image-like input: smoothed noise so detection does real work.
+    base = rng.integers(0, 256, (batch, H, W)).astype(np.float32)
+    k = np.ones((1, 5, 5)) / 25.0
+    from scipy import ndimage  # in the base image; gate if absent
+
+    frames_np = ndimage.convolve(base, k, mode="nearest")
+    frames = jnp.asarray(
+        np.clip(frames_np, 0, 255).astype(np.uint8)
+    )
+
+    with mesh:
+        out = step(frames)
+        jax.block_until_ready(out)  # compile + warm-up
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(frames)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "frames_per_s_per_chip_640x480_detect_describe_match",
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / TARGET_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -165,11 +165,24 @@ def smoothed_intensity_u8(
     r_x1_i = _trunc_i32(r_x1f * scf)
     r_y1_i = _trunc_i32(r_y1f * scf)
 
+    # Corner taps: the reference's dx+dy>2 integral branch walks
+    # `ptr += dy*imagecols + 1` then `ptr -= dx + 1`
+    # (brisk-descriptor-extractor.cc:451-457), so its C/D "corners" actually
+    # land on (y_bottom-1, x_right+1) and (y_bottom-1, x_left+1); the small
+    # dx+dy<=2 pixel-walk branch (:497-530) hits the true corners. Both the
+    # edge and middle terms are identical region sums in the two branches,
+    # so only the corner taps need the branch split — reproduced exactly.
+    dx_i = x_right - x_left - 1
+    dy_i = y_bottom - y_top - 1
+    big = dx_i + dy_i > 2
+    cd_y = jnp.where(big, y_bottom - 1, y_bottom)
+    c_x = jnp.where(big, x_right + 1, x_right)
+    d_x = jnp.where(big, x_left + 1, x_left)
     corners = (
         w_a * at_img(y_top, x_left)
         + w_b * at_img(y_top, x_right)
-        + w_c * at_img(y_bottom, x_right)
-        + w_d * at_img(y_bottom, x_left)
+        + w_c * at_img(cd_y, c_x)
+        + w_d * at_img(cd_y, d_x)
     )
 
     t1 = at_int(y_top, x_left + 1)

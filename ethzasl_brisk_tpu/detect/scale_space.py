@@ -92,17 +92,21 @@ def _trunc_div(val: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.where(val >= 0, val // d, -((-val) // d))
 
 
-def warp_scores_rational(
+def warp_scores_split(
     src_scores: jnp.ndarray,
     affine: tuple[int, int, int],
     dst_shape: tuple[int, int],
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """D^2-scaled bilinear sample of a neighbor layer's score map.
 
-    Returns int64 (H_dst, W_dst) with out[y, x] = D^2 * Score(u, v) where
-    u = (A*x+B)/D, v = (A*y+B)/D; 0 where the reference's bilinear returns 0
+    Exact integer result W = D^2 * Score(u, v) with u = (A*x+B)/D,
+    v = (A*y+B)/D, returned as an int32 split pair ``(w_hi, w_lo)`` with
+    W = w_hi * 2^15 + w_lo — W itself can exceed int32 range and TPUs have
+    no native int64, so the 15-bit split keeps every partial product well
+    inside int32. (0, 0) where the reference's bilinear returns 0
     (harris-score-calculator.h:57-74: u_int truncated toward zero, zero if
-    u_int+1 >= cols or v_int+1 >= rows or u_int < 0 or v_int < 0).
+    u_int+1 >= cols or v_int+1 >= rows or u_int < 0 or v_int < 0; note u in
+    (-1, 0) truncates to 0 and extrapolates with a negative weight — kept).
     """
     a, b, d = affine
     rows, cols = src_scores.shape
@@ -114,39 +118,69 @@ def warp_scores_rational(
         frac = val - i0 * d  # numerator of the fractional part (x D)
         ok = (i0 + 1 < limit) & (i0 >= 0)
         i0c = jnp.clip(i0, 0, limit - 2)
-        return i0c, frac.astype(jnp.int64), ok
+        return i0c, frac, ok
 
     u0, fu, oku = axis_terms(w, cols)
     v0, fv, okv = axis_terms(h, rows)
 
-    s = src_scores.astype(jnp.int64)
-    s00 = s[v0[:, None], u0[None, :]]
-    s01 = s[v0[:, None], u0[None, :] + 1]
-    s10 = s[v0[:, None] + 1, u0[None, :]]
-    s11 = s[v0[:, None] + 1, u0[None, :] + 1]
+    s = src_scores.astype(jnp.int32)
+    s_hi = s >> 15          # arithmetic shift: floor split, sign in hi
+    s_lo = s & 0x7FFF       # in [0, 2^15)
 
-    fu_ = fu[None, :]
-    fv_ = fv[:, None]
-    out = (d - fv_) * ((d - fu_) * s00 + fu_ * s01) + fv_ * (
-        (d - fu_) * s10 + fu_ * s11
-    )
+    def bilerp(part):
+        p00 = part[v0[:, None], u0[None, :]]
+        p01 = part[v0[:, None], u0[None, :] + 1]
+        p10 = part[v0[:, None] + 1, u0[None, :]]
+        p11 = part[v0[:, None] + 1, u0[None, :] + 1]
+        fu_ = fu[None, :]
+        fv_ = fv[:, None]
+        return (d - fv_) * ((d - fu_) * p00 + fu_ * p01) + fv_ * (
+            (d - fu_) * p10 + fu_ * p11
+        )
+
+    w_hi = bilerp(s_hi)
+    w_lo = bilerp(s_lo)
     valid = okv[:, None] & oku[None, :]
-    return jnp.where(valid, out, 0)
+    return jnp.where(valid, w_hi, 0), jnp.where(valid, w_lo, 0)
 
 
-def _maxpool3x3_i64(x: jnp.ndarray) -> jnp.ndarray:
-    p = jnp.pad(x, 1, constant_values=0)
-    h, w = x.shape
-    return jnp.max(
-        jnp.stack(
-            [
-                p[dy : dy + h, dx : dx + w]
-                for dy in (0, 1, 2)
-                for dx in (0, 1, 2)
-            ]
+def center_ge_warped(
+    center: jnp.ndarray,
+    w_hi: jnp.ndarray,
+    w_lo: jnp.ndarray,
+    d: int,
+) -> jnp.ndarray:
+    """Exact int32 test ``center * d^2 >= w_hi * 2^15 + w_lo``.
+
+    |w_hi| <= 4*d^2*|s|/2^15 and |w_lo| <= 4*d^2*2^15 both fit int32 for
+    d <= 16 and Harris |s| < 2^30; the cross term is handled by cutting the
+    hi-difference at +-2048 (2048 * 2^15 dominates any possible lo part).
+    """
+    d2 = d * d
+    c_hi = center >> 15
+    c_lo = center & 0x7FFF
+    diff = c_hi * d2 - w_hi
+    rhs = w_lo - c_lo * d2
+    return jnp.where(
+        diff >= 2048,
+        True,
+        jnp.where(
+            diff <= -2048,
+            False,
+            jnp.clip(diff, -2048, 2048) * 32768 >= rhs,
         ),
-        axis=0,
     )
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """out[y, x] = x[y+dy, x+dx], `fill` outside."""
+    h, w = x.shape
+    out = jnp.full_like(x, fill)
+    ys = slice(max(dy, 0), h + min(dy, 0))
+    yd = slice(max(-dy, 0), h + min(-dy, 0))
+    xs = slice(max(dx, 0), w + min(dx, 0))
+    xd = slice(max(-dx, 0), w + min(-dx, 0))
+    return out.at[yd, xd].set(x[ys, xs])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,6 +195,10 @@ class DetectorConfig:
     # TPU-specific static capacity knobs.
     max_candidates: int = 4096   # per-layer top-k capacity
     max_keypoints: int = 4096    # output capacity (all layers combined)
+    # The reference refines in double (Subpixel2D takes doubles,
+    # scale-space-layer-inl.h:560). float32 is the TPU-native default;
+    # parity tests on CPU select float64 (requires jax_enable_x64).
+    refine_dtype: str = "float32"
 
     @property
     def n_layers(self) -> int:
@@ -185,16 +223,27 @@ def detect_keypoints(
         h, w = sc.shape
         mask = maxima2d_mask(sc, abs_thr)
 
-        center_sq: jnp.ndarray | None = None
-        if i + 1 < n_layers:  # check above (3x3 neighborhood)
+        if i + 1 < n_layers:
+            # Check above: the truncated one_over_scale_above == 1
+            # (scale-space-layer-inl.h:225), so the reference probes the
+            # above layer at all 9 of (x+-1, y+-1) — 9 shifted compares
+            # against the warped split maps (out-of-image probes read 0).
             a, b, d = geoms[i].above_map
-            warped = warp_scores_rational(scores[i + 1], (a, b, d), (h, w))
-            neigh = _maxpool3x3_i64(warped)
-            mask &= sc.astype(jnp.int64) * (d * d) >= neigh
-        if i > 0:  # check below (single sample: truncated offset == 0)
+            w_hi, w_lo = warp_scores_split(scores[i + 1], (a, b, d), (h, w))
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    mask &= center_ge_warped(
+                        sc,
+                        _shift2d(w_hi, dy, dx, 0),
+                        _shift2d(w_lo, dy, dx, 0),
+                        d,
+                    )
+        if i > 0:
+            # Check below: one_over_scale_below truncates to 0, so all 9
+            # probes collapse to the single center sample.
             a, b, d = geoms[i].below_map
-            warped = warp_scores_rational(scores[i - 1], (a, b, d), (h, w))
-            mask &= sc.astype(jnp.int64) * (d * d) >= warped
+            w_hi, w_lo = warp_scores_split(scores[i - 1], (a, b, d), (h, w))
+            mask &= center_ge_warped(sc, w_hi, w_lo, d)
 
         kps = _extract_layer_keypoints(sc, mask, geoms[i], config)
         per_layer.append(kps)
@@ -249,13 +298,16 @@ def _extract_layer_keypoints(
         yi = jnp.clip(y[:, None] + dx[None, :], 0, h - 1)
         return sc[yi[:, :, None], xi[:, None, :]]  # (K, 3y, 3x)
 
-    patches = gather_patch(xs, ys).astype(jnp.float32)
+    rdt = jnp.dtype(config.refine_dtype)
+    patches = gather_patch(xs, ys).astype(rdt)
     delta_x, delta_y, _ = subpixel2d(patches)
 
-    scale = jnp.float32(geom.scale)
-    offset = jnp.float32(geom.offset)
-    fx = scale * ((xs.astype(jnp.float32) + delta_x) + offset)
-    fy = scale * ((ys.astype(jnp.float32) + delta_y) + offset)
+    # KeyPointX = _scale * ((x + delta_x) + _offset) in double, stored float
+    # (scale-space-layer-inl.h:405-406).
+    scale = jnp.asarray(geom.scale, rdt)
+    offset = jnp.asarray(geom.offset, rdt)
+    fx = (scale * ((xs.astype(rdt) + delta_x) + offset)).astype(jnp.float32)
+    fy = (scale * ((ys.astype(rdt) + delta_y) + offset)).astype(jnp.float32)
 
     return KeyPoints(
         x=fx,

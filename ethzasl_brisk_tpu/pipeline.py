@@ -41,6 +41,7 @@ class BriskFeature:
     version: str = "v2"
     max_candidates: int = 4096
     max_keypoints: int = 4096
+    refine_dtype: str = "float32"
 
     def __post_init__(self):
         object.__setattr__(
@@ -53,6 +54,7 @@ class BriskFeature:
                 max_num_kpt=self.max_num_kpt,
                 max_candidates=self.max_candidates,
                 max_keypoints=self.max_keypoints,
+                refine_dtype=self.refine_dtype,
             ),
         )
         object.__setattr__(

@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin overrides JAX_PLATFORMS at import time — force CPU via
+# the config API (must happen before any backend is initialized).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest

@@ -1,0 +1,79 @@
+"""End-to-end golden parity vs the reference's shipped verification set.
+
+Mirrors the reference's own correctness notion (test-binary-equal.cc):
+bit-exact keypoints + descriptors on test_data/img{1,2}.pgm, modulo
+response-tie ordering which the reference's unstable std::sort leaves
+undefined (uniformity-enforcement-inl.h:55).
+"""
+import numpy as np
+import pytest
+
+from ethzasl_brisk_tpu.core.golden import read_set
+
+from .conftest import TEST_DATA
+
+
+@pytest.fixture(scope="module")
+def harris_golden():
+    path = TEST_DATA / "brisk_verification_harris.set"
+    if not path.exists():
+        pytest.skip("golden set not available")
+    return read_set(str(path))
+
+
+@pytest.fixture(scope="module")
+def harris_feature():
+    from ethzasl_brisk_tpu.pipeline import BriskFeature
+
+    # Params of the reference's golden run (test-binary-equal.cc:82-88).
+    return BriskFeature(
+        octaves=0,
+        uniformity_radius=30.0,
+        absolute_threshold=20.0,
+        max_candidates=16384,
+        max_keypoints=16384,
+        refine_dtype="float64",
+    )
+
+
+def _align(got_xy, want_xy, tol=2e-3):
+    from scipy.spatial import cKDTree
+
+    d, j = cKDTree(want_xy).query(got_xy, distance_upper_bound=tol)
+    gi = np.where(np.isfinite(d))[0]
+    wi = j[gi]
+    _, first = np.unique(wi, return_index=True)
+    return gi[np.sort(first)], wi[np.sort(first)]
+
+
+@pytest.mark.parametrize("entry_idx", [0, 1])
+def test_harris_golden_parity(harris_golden, harris_feature, entry_idx):
+    import jax.numpy as jnp
+
+    e = harris_golden[entry_idx]
+    kps, desc = harris_feature.detect_and_compute(jnp.asarray(e.image))
+    host = kps.to_numpy()
+    got_xy = np.stack([host["x"], host["y"]], axis=1)
+    got_desc = (
+        np.asarray(desc)[np.asarray(kps.valid)]
+        .view(np.uint8)
+        .reshape(len(got_xy), -1)
+    )
+    want = e.keypoint_array()
+    want_xy = want[:, :2]
+
+    # Same number of keypoints (up to one tie-order swap per image).
+    assert abs(len(got_xy) - len(want_xy)) <= 1
+
+    gi, wi = _align(got_xy, want_xy)
+    assert len(gi) >= len(want_xy) - 1
+
+    # Responses bit-exact.
+    np.testing.assert_array_equal(host["response"][gi], want[wi, 4])
+    # Positions to refinement precision.
+    np.testing.assert_allclose(got_xy[gi], want_xy[wi], atol=1e-4)
+    # Angles within atan2-rounding slack.
+    dang = np.abs(host["angle"][gi] - want[wi, 3])
+    assert np.minimum(dang, 360 - dang).max() < 0.1
+    # Descriptors bit-exact.
+    np.testing.assert_array_equal(got_desc[gi], e.descriptors[wi])

@@ -96,3 +96,68 @@ class TestMaxima2d:
         score[5, 5] = 10
         assert not np.asarray(maxima2d_mask(score, 11)).any()
         assert np.asarray(maxima2d_mask(score, 10))[5, 5]
+
+
+class TestWarpSplit:
+    """Split-int32 warped-score compare vs an int64 NumPy reference."""
+
+    @pytest.mark.parametrize("affine", [(4, -1, 6), (12, 2, 9), (6, -1, 8),
+                                        (24, 3, 16)])
+    def test_center_ge_warped_exact(self, affine):
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.detect.scale_space import (
+            center_ge_warped,
+            warp_scores_split,
+        )
+
+        a, b, d = affine
+        rng = np.random.default_rng(5)
+        src = rng.integers(-(2**29), 2**29, size=(40, 52), dtype=np.int64)
+        dst_shape = (30, 40)
+        w_hi, w_lo = warp_scores_split(
+            jnp.asarray(src, jnp.int32), affine, dst_shape
+        )
+
+        # int64 reference with identical truncation semantics.
+        def trunc_div(v, dd):
+            return np.where(v >= 0, v // dd, -((-v) // dd))
+
+        def terms(n, limit):
+            val = a * np.arange(n) + b
+            i0 = trunc_div(val, d)
+            frac = val - i0 * d
+            ok = (i0 + 1 < limit) & (i0 >= 0)
+            return np.clip(i0, 0, limit - 2), frac, ok
+
+        u0, fu, oku = terms(dst_shape[1], src.shape[1])
+        v0, fv, okv = terms(dst_shape[0], src.shape[0])
+        s00 = src[v0[:, None], u0[None, :]]
+        s01 = src[v0[:, None], u0[None, :] + 1]
+        s10 = src[v0[:, None] + 1, u0[None, :]]
+        s11 = src[v0[:, None] + 1, u0[None, :] + 1]
+        fu_, fv_ = fu[None, :], fv[:, None]
+        ref64 = (d - fv_) * ((d - fu_) * s00 + fu_ * s01) + fv_ * (
+            (d - fu_) * s10 + fu_ * s11
+        )
+        ref64 = np.where(okv[:, None] & oku[None, :], ref64, 0)
+
+        got = np.asarray(w_hi).astype(np.int64) * 32768 + np.asarray(w_lo)
+        np.testing.assert_array_equal(got, ref64)
+
+        center = rng.integers(-(2**29), 2**29, size=dst_shape)
+        want_cmp = center * (d * d) >= ref64
+        got_cmp = np.asarray(
+            center_ge_warped(jnp.asarray(center, jnp.int32), w_hi, w_lo, d)
+        )
+        np.testing.assert_array_equal(got_cmp, want_cmp)
+
+        # Exercise the cutoff branch boundary: center == warped exactly.
+        eq_center = trunc_div(ref64, d * d)
+        exact = eq_center * (d * d) == ref64
+        got_eq = np.asarray(
+            center_ge_warped(
+                jnp.asarray(eq_center, jnp.int32), w_hi, w_lo, d
+            )
+        )
+        np.testing.assert_array_equal(got_eq[exact], True)

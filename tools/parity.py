@@ -1,0 +1,141 @@
+"""Golden-set parity harness: compare the TPU pipeline vs the reference's
+shipped verification datasets (brisk_verification_{harris,ast}.set).
+
+Usage: JAX_ENABLE_X64=1 JAX_PLATFORMS=cpu python tools/parity.py [harris|ast]
+
+Reports per-image keypoint and descriptor agreement. The reference's own
+notion of correctness is bit-exact golden comparison
+(test-binary-equal.cc:82-88 params; bench-ds.h operator==) — this harness
+measures how close the rebuild gets, with canonical (score, x, y) sort to
+neutralize std::sort tie-order nondeterminism.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "1"
+
+import jax
+
+# The axon plugin overrides JAX_PLATFORMS at import time; config.update wins.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ethzasl_brisk_tpu.core.golden import read_set  # noqa: E402
+
+SET_DIR = "/root/reference/brisk/src/test/test_data"
+
+
+def canon_order(kp: np.ndarray) -> np.ndarray:
+    """Sort (N, F>=5) keypoint rows by (-response, x, y)."""
+    return np.lexsort((kp[:, 1], kp[:, 0], -kp[:, 4]))
+
+
+def align(got_kp, want_kp, xy_tol):
+    """Match rows by nearest (x, y) within tol. Returns (gi, wi) indices."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(want_kp[:, :2])
+    d, j = tree.query(got_kp[:, :2], distance_upper_bound=xy_tol)
+    gi = np.where(np.isfinite(d))[0]
+    wi = j[gi]
+    # Drop duplicate want matches (keep first).
+    _, first = np.unique(wi, return_index=True)
+    gi, wi = gi[np.sort(first)], wi[np.sort(first)]
+    return gi, wi
+
+
+def compare_entry(name, got_kp, got_desc, want_kp, want_desc, xy_tol=2e-3):
+    """got_kp/want_kp: (N, 5+) arrays [x, y, size, angle, response, ...]."""
+    print(f"--- {name}")
+    print(f"  keypoints: got {len(got_kp)}, want {len(want_kp)}")
+    gi, wi = align(got_kp, want_kp, xy_tol)
+    n = len(gi)
+    miss = np.setdiff1d(np.arange(len(want_kp)), wi)
+    extra = np.setdiff1d(np.arange(len(got_kp)), gi)
+    print(f"  aligned: {n}; missing {len(miss)}; extra {len(extra)}")
+    for lbl, idx, arr in (("missing", miss, want_kp), ("extra", extra, got_kp)):
+        if len(idx):
+            r = arr[idx, 4]
+            print(
+                f"  {lbl} responses: min {r.min():.0f} max {r.max():.0f}; "
+                f"sample {[tuple(np.round(arr[i, :2], 1)) for i in idx[:4]]}"
+            )
+    g, w = got_kp[gi], want_kp[wi]
+    dxy = np.abs(g[:, :2] - w[:, :2]).max(axis=1)
+    resp_eq = g[:, 4] == w[:, 4]
+    print(f"  max dxy: {dxy.max() if n else 0:.2e}; xy bit-eq: "
+          f"{(dxy == 0).sum()}/{n}; response equal: {resp_eq.sum()}/{n}")
+    dang = np.abs(g[:, 3] - w[:, 3])
+    dang = np.minimum(dang, 360 - dang)
+    print(f"  angle: bit-eq {(g[:, 3] == w[:, 3]).sum()}/{n}; "
+          f"<0.1deg {(dang < 0.1).sum()}/{n}; max {dang.max():.3f}")
+    if got_desc.size and want_desc.size:
+        gb = np.unpackbits(got_desc[gi], axis=1)
+        wb = np.unpackbits(want_desc[wi], axis=1)
+        hd = (gb != wb).sum(axis=1)
+        print(
+            f"  desc: exact rows {(hd == 0).sum()}/{n}; "
+            f"mean bit diff {hd.mean():.3f}/{gb.shape[1]}; max {hd.max()}"
+        )
+        worst = np.argsort(-hd)[:4]
+        for i in worst:
+            if hd[i]:
+                print(
+                    f"    worst#{i}: hd={hd[i]} angle {g[i, 3]:.3f} vs "
+                    f"{w[i, 3]:.3f} resp {g[i, 4]:.0f} xy {g[i, :2]}"
+                )
+    return n == len(want_kp) == len(got_kp) and resp_eq.all()
+
+
+def run_harris():
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.pipeline import BriskFeature
+
+    entries = read_set(os.path.join(SET_DIR, "brisk_verification_harris.set"))
+    feature = BriskFeature(
+        octaves=0,
+        uniformity_radius=30.0,
+        absolute_threshold=20.0,
+        max_candidates=16384,
+        max_keypoints=16384,
+        refine_dtype="float64",
+    )
+    all_ok = True
+    for e in entries:
+        kps, desc = feature.detect_and_compute(jnp.asarray(e.image))
+        host = kps.to_numpy()
+        got_kp = np.stack(
+            [
+                host["x"],
+                host["y"],
+                host["size"],
+                host["angle"],
+                host["response"],
+            ],
+            axis=1,
+        )
+        got_desc = np.asarray(desc)[np.asarray(kps.valid)]
+        got_desc = got_desc.view(np.uint8).reshape(len(got_kp), -1)
+        want = e.keypoint_array()  # x y size angle response octave class_id
+        want_kp = want[:, :5]
+        ok = compare_entry(
+            e.path, got_kp, got_desc, want_kp, e.descriptors
+        )
+        all_ok &= bool(ok)
+    print("PARITY OK" if all_ok else "PARITY INCOMPLETE")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "harris"
+    if which == "harris":
+        run_harris()
+    else:
+        raise SystemExit("ast parity not wired yet")
