@@ -70,6 +70,12 @@ class KeyPoints:
         order = jnp.argsort(~self.valid, stable=True)
         return jax.tree.map(lambda a: jnp.take(a, order, axis=-1), self)
 
+    def top_k(self, k: int) -> "KeyPoints":
+        """Keep the k highest-response valid keypoints (capacity -> k)."""
+        score = jnp.where(self.valid, self.response, -jnp.inf)
+        _, idx = jax.lax.top_k(score, k)
+        return jax.tree.map(lambda a: jnp.take(a, idx, axis=-1), self)
+
     def to_numpy(self) -> dict:
         """Host-side dict of numpy arrays with only the valid entries."""
         host = jax.tree.map(np.asarray, self)

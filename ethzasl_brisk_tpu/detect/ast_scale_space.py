@@ -1,0 +1,989 @@
+"""Classic BRISK (AST) scale-space detection, dense and TPU-native.
+
+Mirrors ``BriskScaleSpace`` + ``BriskFeatureDetector``
+(``brisk/src/brisk-scale-space.cc``, ``brisk-feature-detector.cc``):
+
+* pyramid of 2*octaves BriskLayers (octave/intra alternation) with dense
+  OAST 9/16 corner+score maps and threshold maps (detect/ast_layer.py);
+* IsMax2D with the smoothed tie-break (brisk-scale-space.cc:430-531);
+* cross-layer 3-D refinement: GetScoreMaxAbove/Below patch scans with
+  early drop-threshold rejection (:757-1099), 1-D scale parabolas
+  Refine1D/_1/_2 (:1101-1228) and the int-coefficient Subpixel2D
+  (:1230-1364);
+* the layer-0 "virtual below" estimate from AGAST 5/8 (:556-593).
+
+The reference's lazy per-corner scoring becomes dense score maps; its
+sequential patch scans become fixed-size vectorized probe lists (the scan
+order, first-maximum-wins rule and the GetScoreMaxBelow tie-break are all
+reproduced). Per-candidate work is O(few dozen gathers), batched over a
+static candidate capacity.
+
+Float math follows the reference's C float semantics; scores are small
+ints so all comparisons are exact except last-ulp division effects in the
+subpixel/1-D fits.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ethzasl_brisk_tpu.core.keypoints import KeyPoints
+from ethzasl_brisk_tpu.detect.ast_layer import AstLayerMaps, build_ast_layer
+from ethzasl_brisk_tpu.kernels.agast import agast5_8_score_map
+from ethzasl_brisk_tpu.kernels.downsample import halfsample8, twothirdsample8
+
+f32 = jnp.float32
+
+K_MAX_THRESHOLD = 1     # brisk-scale-space.cc:47
+K_DROP_THRESHOLD = 5    # :48
+K_MIN_DROP = 15         # :49
+K_BASIC_SIZE = 12.0     # :45
+
+
+def _trunc_i32(x):
+    return jnp.trunc(x).astype(jnp.int32)
+
+
+def build_ast_pyramid(
+    img: jnp.ndarray,
+    octaves: int,
+    threshold: int,
+    lower: int = 10,
+    upper: int = 230,
+) -> list[AstLayerMaps]:
+    """ConstructPyramid (brisk-scale-space.cc:64-90)."""
+    n_layers = max(2 * octaves, 1)
+    imgs = [img]
+    if n_layers > 1:
+        imgs.append(twothirdsample8(img))
+    for i in range(2, n_layers):
+        imgs.append(halfsample8(imgs[i - 2]))
+
+    layers = []
+    scale = 1.0
+    for i, im in enumerate(imgs):
+        if i == 0:
+            scale, offset = 1.0, 0.0
+        else:
+            scale = 2.0 ** (i // 2) * (1.0 if i % 2 == 0 else 1.5)
+            offset = 0.5 * scale - 0.5
+        layers.append(
+            build_ast_layer(im, threshold, upper, lower, scale, offset)
+        )
+    return layers
+
+
+# ---------------------------------------------------------------------------
+# Subpixel2D — the int-coefficient AST variant (brisk-scale-space.cc:1230).
+# Patch convention: s[..., a, b] = Score(x + a - 1, y + b - 1), i.e. the
+# FIRST index moves x (the reference's call sites pass s_0_1 = (x-1, y)).
+# Returns (delta_x, delta_y, refined_max).
+# ---------------------------------------------------------------------------
+def ast_subpixel2d(s: jnp.ndarray):
+    s = s.astype(jnp.int32)
+    s_0_0 = s[..., 0, 0]
+    s_0_1 = s[..., 0, 1]
+    s_0_2 = s[..., 0, 2]
+    s_1_0 = s[..., 1, 0]
+    s_1_1 = s[..., 1, 1]
+    s_1_2 = s[..., 1, 2]
+    s_2_0 = s[..., 2, 0]
+    s_2_1 = s[..., 2, 1]
+    s_2_2 = s[..., 2, 2]
+
+    tmp1 = s_0_0 + s_0_2 - 2 * s_1_1 + s_2_0 + s_2_2
+    coeff1 = 3 * (tmp1 + s_0_1 - ((s_1_0 + s_1_2) << 1) + s_2_1)
+    coeff2 = 3 * (tmp1 - ((s_0_1 + s_2_1) << 1) + s_1_0 + s_1_2)
+    tmp2 = s_0_2 - s_2_0
+    tmp3 = s_0_0 + tmp2 - s_2_2
+    tmp4 = tmp3 - 2 * tmp2
+    coeff3 = -3 * (tmp3 + s_0_1 - s_2_1)
+    coeff4 = -3 * (tmp4 + s_1_0 - s_1_2)
+    coeff5 = (s_0_0 - s_0_2 - s_2_0 + s_2_2) << 2
+    # C: -(X) << 1  ==  (-X) * 2.
+    coeff6 = (
+        -(
+            s_0_0
+            + s_0_2
+            - ((s_1_0 + s_0_1 + s_1_2 + s_2_1) << 1)
+            - 5 * s_1_1
+            + s_2_0
+            + s_2_2
+        )
+    ) << 1
+
+    h_det = 4 * coeff1 * coeff2 - coeff5 * coeff5
+
+    c1f = coeff1.astype(f32)
+    c2f = coeff2.astype(f32)
+    c3f = coeff3.astype(f32)
+    c4f = coeff4.astype(f32)
+    c5f = coeff5.astype(f32)
+    c6f = coeff6.astype(f32)
+
+    # Branch B: corner maximum (first corner wins ties).
+    corner_vals = jnp.stack(
+        [
+            coeff3 + coeff4 + coeff5,
+            -coeff3 + coeff4 - coeff5,
+            coeff3 - coeff4 - coeff5,
+            -coeff3 - coeff4 + coeff5,
+        ],
+        axis=-1,
+    )
+    corner_dx = jnp.asarray([1.0, -1.0, 1.0, -1.0], f32)
+    corner_dy = jnp.asarray([1.0, 1.0, -1.0, -1.0], f32)
+    # argmax keeps the FIRST maximum == reference's strict-'>' scan.
+    ci = jnp.argmax(corner_vals, axis=-1)
+    b_max_i = jnp.take_along_axis(corner_vals, ci[..., None], axis=-1)[..., 0]
+    b_dx = corner_dx[ci]
+    b_dy = corner_dy[ci]
+    b_val = (b_max_i + coeff1 + coeff2 + coeff6).astype(f32) / f32(18.0)
+
+    # Branch C: interior.
+    safe_det = jnp.where(h_det == 0, 1, h_det).astype(f32)
+    dx0 = (2 * coeff2 * coeff3 - coeff4 * coeff5).astype(f32) / (-safe_det)
+    dy0 = (2 * coeff1 * coeff4 - coeff3 * coeff5).astype(f32) / (-safe_det)
+
+    tx = dx0 > 1.0
+    tx_ = dx0 < -1.0
+    ty = dy0 > 1.0
+    ty_ = dy0 < -1.0
+    oob = tx | tx_ | ty | ty_
+
+    safe_c1 = jnp.where(coeff1 == 0, 1, 2 * coeff1).astype(f32)
+    safe_c2 = jnp.where(coeff2 == 0, 1, 2 * coeff2).astype(f32)
+
+    delta_x1 = jnp.where(tx, 1.0, jnp.where(tx_, -1.0, 0.0)).astype(f32)
+    delta_y1 = jnp.where(
+        tx,
+        -(c4f + c5f) / safe_c2,
+        jnp.where(tx_, -(c4f - c5f) / safe_c2, 0.0),
+    ).astype(f32)
+    delta_y1 = jnp.clip(delta_y1, -1.0, 1.0)
+
+    delta_y2 = jnp.where(ty, 1.0, jnp.where(ty_, -1.0, 0.0)).astype(f32)
+    delta_x2 = jnp.where(
+        ty,
+        -(c3f + c5f) / safe_c1,
+        jnp.where(ty_, -(c3f - c5f) / safe_c1, 0.0),
+    ).astype(f32)
+    delta_x2 = jnp.clip(delta_x2, -1.0, 1.0)
+
+    def quad(dx, dy):
+        return (
+            c1f * dx * dx + c2f * dy * dy + c3f * dx + c4f * dy
+            + c5f * dx * dy + c6f
+        ) / f32(18.0)
+
+    max1 = quad(delta_x1, delta_y1)
+    max2 = quad(delta_x2, delta_y2)
+    pick1 = max1 > max2
+    # Reference quirk kept: delta_y gets delta_x{1,2} (:1352-1358).
+    bnd_dx = jnp.where(pick1, delta_x1, delta_x2)
+    bnd_dy = jnp.where(pick1, delta_x1, delta_x2)
+    bnd_val = jnp.where(pick1, max1, max2)
+
+    c_dx = jnp.where(oob, bnd_dx, dx0)
+    c_dy = jnp.where(oob, bnd_dy, dy0)
+    c_val = jnp.where(oob, bnd_val, quad(dx0, dy0))
+
+    is_zero = h_det == 0
+    is_corner = ~((h_det > 0) & (coeff1 < 0))
+
+    delta_x = jnp.where(
+        is_zero, 0.0, jnp.where(is_corner, b_dx, c_dx)
+    ).astype(f32)
+    delta_y = jnp.where(
+        is_zero, 0.0, jnp.where(is_corner, b_dy, c_dy)
+    ).astype(f32)
+    val = jnp.where(
+        is_zero,
+        coeff6.astype(f32) / f32(18.0),
+        jnp.where(is_corner, b_val, c_val),
+    ).astype(f32)
+    return delta_x, delta_y, val
+
+
+# ---------------------------------------------------------------------------
+# Refine1D variants (brisk-scale-space.cc:1101-1228).
+# ---------------------------------------------------------------------------
+def _refine1d(s_05, s0, s05, coeffs, lo, hi, lo_scale, hi_scale, div):
+    """Shared 1-D parabola refinement. Returns (scale, max)."""
+    (a0, a1, a2), (b0, b1, b2), (c0, c1, c2) = coeffs
+    i_05 = _trunc_i32(f32(1024.0) * s_05 + f32(0.5))
+    i0 = _trunc_i32(f32(1024.0) * s0 + f32(0.5))
+    i05 = _trunc_i32(f32(1024.0) * s05 + f32(0.5))
+
+    a = a0 * i_05 + a1 * i0 + a2 * i05
+    b = b0 * i_05 + b1 * i0 + b2 * i05
+    c = c0 * i_05 + c1 * i0 + c2 * i05
+
+    # Degenerate: pick the plain maximum (order of checks matters).
+    deg_scale = jnp.where(
+        (s0 >= s_05) & (s0 >= s05),
+        f32(1.0),
+        jnp.where((s_05 >= s0) & (s_05 >= s05), f32(lo_scale),
+                  f32(hi_scale)),
+    )
+    deg_max = jnp.where(
+        (s0 >= s_05) & (s0 >= s05),
+        s0,
+        jnp.where((s_05 >= s0) & (s_05 >= s05), s_05, s05),
+    )
+
+    safe_a = jnp.where(a == 0, 1, 2 * a).astype(f32)
+    ret = -b.astype(f32) / safe_a
+    ret = jnp.clip(ret, lo, hi)
+    mx = (
+        c.astype(f32) + a.astype(f32) * ret * ret + b.astype(f32) * ret
+    ) / f32(div)
+
+    degenerate = a >= 0
+    return (
+        jnp.where(degenerate, deg_scale, ret),
+        jnp.where(degenerate, deg_max, mx),
+    )
+
+
+def refine1d(s_05, s0, s05):
+    """Octave layers >0: anchors 0.75 / 1.0 / 1.5 (:1101-1142)."""
+    return _refine1d(
+        s_05, s0, s05,
+        ((16, -24, 8), (-40, 54, -14), (24, -27, 6)),
+        0.75, 1.5, 0.75, 1.5, 3072.0,
+    )
+
+
+def refine1d_1(s_05, s0, s05):
+    """Intra layers: anchors 2/3 / 1.0 / 4/3 (:1144-1186)."""
+    return _refine1d(
+        s_05, s0, s05,
+        ((9, -18, 9), (-21, 36, -15), (12, -16, 6)),
+        2.0 / 3.0, 4.0 / 3.0, 2.0 / 3.0, 4.0 / 3.0, 2048.0,
+    )
+
+
+def refine1d_2(s_05, s0, s05):
+    """Layer 0 with the virtual 5_8 below: anchors 0.7/1.0/1.5 (:1188-1228)."""
+    return _refine1d(
+        s_05, s0, s05,
+        ((2, -4, 2), (-5, 8, -3), (3, -3, 1)),
+        0.7, 1.5, 0.7, 1.5, 1024.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Score accessors over dense maps.
+# ---------------------------------------------------------------------------
+def _gather(map2d: jnp.ndarray, ys, xs):
+    h, w = map2d.shape
+    yc = jnp.clip(ys, 0, h - 1)
+    xc = jnp.clip(xs, 0, w - 1)
+    return map2d[yc, xc]
+
+
+def _int_score(layer: AstLayerMaps, xs, ys, center):
+    """GetAgastScore(int x, int y, threshold=center) (brisk-layer.cc:118).
+
+    With the dense maps: detected corners return their seeded cache value
+    max(t*, thrmap); other pixels return t* if t* >= center else 0 (the
+    lazy recompute path; cache reuse never changes any comparison against
+    `center`, see module docs). Outside [3, n-4]: 0.
+    """
+    h, w = layer.img.shape
+    inb = (xs >= 3) & (ys >= 3) & (xs < w - 3) & (ys < h - 3)
+    is_corner = _gather(layer.corner, ys, xs)
+    cache = _gather(layer.cache, ys, xs)
+    t_star = _gather(layer.t_star, ys, xs)
+    fresh = jnp.where(t_star >= center, t_star, 0)
+    return jnp.where(inb, jnp.where(is_corner, cache, fresh), 0)
+
+
+def _cache_score(layer: AstLayerMaps, xs, ys):
+    """GetAgastScore(x, y, 1): the threshold-1 view = dense cache map."""
+    h, w = layer.img.shape
+    inb = (xs >= 3) & (ys >= 3) & (xs < w - 3) & (ys < h - 3)
+    return jnp.where(inb, _gather(layer.cache, ys, xs), 0)
+
+
+def _bilinear_score(layer: AstLayerMaps, xf, yf):
+    """GetAgastScore(float xf, float yf, 1, scale=1) (brisk-layer.cc:179-...):
+    f32 bilinear of the 4 int scores, truncated to uint8."""
+    x = _trunc_i32(xf)
+    y = _trunc_i32(yf)
+    rx1 = xf - x.astype(f32)
+    rx = f32(1.0) - rx1
+    ry1 = yf - y.astype(f32)
+    ry = f32(1.0) - ry1
+    v00 = _cache_score(layer, x, y).astype(f32)
+    v10 = _cache_score(layer, x + 1, y).astype(f32)
+    v01 = _cache_score(layer, x, y + 1).astype(f32)
+    v11 = _cache_score(layer, x + 1, y + 1).astype(f32)
+    out = rx * ry * v00 + rx1 * ry * v10 + rx * ry1 * v01 + rx1 * ry1 * v11
+    return _trunc_i32(out).astype(f32)  # uint8 truncation (values <= 255)
+
+
+def _agast58_score(layer_t58: jnp.ndarray, xs, ys):
+    """GetAgastScore_5_8(x, y, 1) (brisk-layer.cc:134-145)."""
+    h, w = layer_t58.shape
+    inb = (xs >= 2) & (ys >= 2) & (xs < w - 2) & (ys < h - 2)
+    t = _gather(layer_t58, ys, xs)
+    return jnp.where(inb & (t >= 1), t, 0)
+
+
+def _patch33(score_fn, xs, ys):
+    """(K, 3, 3) patch with patch[k, a, b] = score(x+a-1, y+b-1)."""
+    d = jnp.arange(-1, 2)
+    xg = xs[:, None, None] + d[None, :, None]   # a axis moves x
+    yg = ys[:, None, None] + d[None, None, :]   # b axis moves y
+    return score_fn(xg, yg)
+
+
+# ---------------------------------------------------------------------------
+# IsMax2D (brisk-scale-space.cc:430-531).
+# ---------------------------------------------------------------------------
+_NEIGH8 = (
+    (-1, 0), (1, 0), (0, -1), (0, 1), (-1, 1), (1, 1), (1, -1), (-1, -1),
+)
+# Tie-scan order of the reference's delta list (:482-513):
+_TIE_ORDER = (
+    (-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1),
+)
+
+
+def earliest_toucher_map(layer: AstLayerMaps) -> jnp.ndarray:
+    """Per pixel q: the smallest row-major index of an adjacent corner whose
+    IsMax2D neighbor query would seed q's lazy score cache with t*(q) —
+    i.e. an adjacent corner c with center(c) <= t*(q). INT32_MAX if none.
+
+    Models the reference's order-dependent scores_ cache fill
+    (brisk-layer.cc:118-132 writes on every GetAgastScore miss; corners
+    are processed row-major, each querying its 8 neighbors).
+    """
+    h, w = layer.img.shape
+    rm = (
+        jnp.arange(h, dtype=jnp.int32)[:, None] * w
+        + jnp.arange(w, dtype=jnp.int32)[None, :]
+    )
+    inf = jnp.int32(2**31 - 1)
+    best = jnp.full((h, w), inf)
+    for dx, dy in _NEIGH8:
+        c_corner = _shift_bool(layer.corner, dy, dx)
+        c_center = _shift_i32(layer.cache, dy, dx)
+        c_rm = _shift_i32(rm, dy, dx, fill=inf)
+        ok = c_corner & (c_center <= layer.t_star)
+        best = jnp.minimum(best, jnp.where(ok, c_rm, inf))
+    return best
+
+
+def _shift_bool(x, dy, dx):
+    h, w = x.shape
+    out = jnp.zeros_like(x)
+    ys = slice(max(dy, 0), h + min(dy, 0))
+    yd = slice(max(-dy, 0), h + min(-dy, 0))
+    xs = slice(max(dx, 0), w + min(dx, 0))
+    xd = slice(max(-dx, 0), w + min(-dx, 0))
+    return out.at[yd, xd].set(x[ys, xs])
+
+
+def _shift_i32(x, dy, dx, fill=0):
+    h, w = x.shape
+    out = jnp.full_like(x, fill)
+    ys = slice(max(dy, 0), h + min(dy, 0))
+    yd = slice(max(-dy, 0), h + min(-dy, 0))
+    xs = slice(max(dx, 0), w + min(dx, 0))
+    xd = slice(max(-dx, 0), w + min(-dx, 0))
+    return out.at[yd, xd].set(x[ys, xs])
+
+
+def is_max_2d(
+    layer: AstLayerMaps,
+    xs,
+    ys,
+    raw_model: str = "emulated",
+    e_query: Optional[jnp.ndarray] = None,
+    e_patch: Optional[jnp.ndarray] = None,
+    prefill: Optional[jnp.ndarray] = None,
+):
+    """Vectorized IsMax2D (brisk-scale-space.cc:430-531).
+
+    The tie path reads raw scores_ memory, whose content depends on the
+    candidate processing order. raw_model:
+      * 'emulated' — earliest-toucher model of the lazy cache fill:
+        - e_query(q): min row-major index of an adjacent corner whose
+          IsMax2D query seeds q with t* (needs center <= t*, t* > 2);
+        - e_patch(q): min row-major index of an adjacent *accepted*
+          candidate whose Refine3D 3x3 patch seeds q at threshold 1
+          (t* >= 1);
+        - prefill(q): True where a preceding layer's cross-layer probes
+          already seeded q at threshold 1;
+      * 'cache'  — dense threshold-1 view (upper bound);
+      * 'corner' — corners only (lower bound).
+    """
+    center = _gather(layer.cache, ys, xs)  # candidates are corners
+    w = layer.img.shape[1]
+    cand_rm = ys * w + xs
+
+    neigh = {
+        (dx, dy): _int_score(layer, xs + dx, ys + dy, center)
+        for dx, dy in _NEIGH8
+    }
+    reject = jnp.zeros_like(xs, bool)
+    for v in neigh.values():
+        reject |= v > center
+
+    # Smoothed tie-break.
+    s_10, s10 = neigh[(-1, 0)], neigh[(1, 0)]
+    s0_1, s01 = neigh[(0, -1)], neigh[(0, 1)]
+    s_1_1, s1_1 = neigh[(-1, -1)], neigh[(1, -1)]
+    s_11, s11 = neigh[(-1, 1)], neigh[(1, 1)]
+    smoothed_center = (
+        4 * center + 2 * (s_10 + s10 + s0_1 + s01) + s_1_1 + s1_1 + s_11 + s11
+    )
+
+    if raw_model == "emulated" and e_query is None:
+        e_query = earliest_toucher_map(layer)
+
+    def raw(ox, oy):
+        """Raw scores_ read at candidate offset (ox, oy), |ox|,|oy| <= 2."""
+        q_corner = _gather(layer.corner, ys + oy, xs + ox)
+        q_cache = _gather(layer.cache, ys + oy, xs + ox)
+        q_t = _gather(layer.t_star, ys + oy, xs + ox)
+        if raw_model == "corner":
+            return jnp.where(q_corner, q_cache, 0)
+        if raw_model == "cache":
+            h, w_ = layer.img.shape
+            inb = (
+                (xs + ox >= 3) & (ys + oy >= 3)
+                & (xs + ox < w_ - 3) & (ys + oy < h - 3)
+            )
+            return jnp.where(inb, q_cache, 0)
+        q_early = _gather(e_query, ys + oy, xs + ox)
+        own = (
+            (abs(ox) <= 1) and (abs(oy) <= 1)
+        )  # static: q adjacent to the candidate itself
+        touched_q = q_early < cand_rm
+        if own:
+            touched_q |= center <= q_t
+        thr1 = jnp.zeros_like(touched_q)
+        if e_patch is not None:
+            thr1 |= _gather(e_patch, ys + oy, xs + ox) < cand_rm
+        if prefill is not None:
+            thr1 |= _gather(prefill, ys + oy, xs + ox)
+        val = jnp.where(
+            thr1 & (q_t >= 1),
+            q_t,
+            jnp.where(touched_q & (q_t > 2), q_t, 0),
+        )
+        return jnp.where(q_corner, q_cache, val)
+
+    for dx, dy in _TIE_ORDER:
+        tied = neigh[(dx, dy)] == center
+        other = (
+            raw(dx - 1, dy - 1)
+            + 2 * raw(dx, dy - 1)
+            + raw(dx + 1, dy - 1)
+            + 2 * raw(dx + 1, dy)
+            + 4 * raw(dx, dy)
+            + 2 * raw(dx - 1, dy)
+            + raw(dx - 1, dy + 1)
+            + 2 * raw(dx, dy + 1)
+            + raw(dx + 1, dy + 1)
+        )
+        reject |= tied & (other > smoothed_center)
+
+    return ~reject
+
+
+# ---------------------------------------------------------------------------
+# GetScoreMaxAbove / GetScoreMaxBelow (brisk-scale-space.cc:757-1099).
+# ---------------------------------------------------------------------------
+def _score_patch_max(
+    neighbor: AstLayerMaps,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    thr: jnp.ndarray,
+    mode: str,       # above_octave | above_intra | below_octave | below_intra
+):
+    """Ordered probe scan over the neighbor-layer patch.
+
+    Returns (ismax, score, dx, dy) per candidate — the reference's scan
+    order, first-strict-maximum rule, the below-scan smoothing tie-break,
+    the missing threshold check on the bottom row, and the final
+    Subpixel2D + saturation are all reproduced.
+    """
+    threshold = (thr + K_DROP_THRESHOLD).astype(f32)
+    xsf = xs.astype(f32)
+    ysf = ys.astype(f32)
+
+    if mode == "above_octave":
+        x_1 = (f32(4.0) * xsf - 3) / f32(6.0)
+        x1 = (f32(4.0) * xsf + 1) / f32(6.0)
+        y_1 = (f32(4.0) * ysf - 3) / f32(6.0)
+        y1 = (f32(4.0) * ysf + 1) / f32(6.0)
+        n_int = 1
+        tie_break = False
+    elif mode == "above_intra":
+        x_1 = (f32(6.0) * xsf - 4) / f32(8.0)
+        x1 = (f32(6.0) * xsf + 2) / f32(8.0)
+        y_1 = (f32(6.0) * ysf - 4) / f32(8.0)
+        y1 = (f32(6.0) * ysf + 2) / f32(8.0)
+        n_int = 1
+        tie_break = False
+    elif mode == "below_octave":
+        x_1 = (f32(8.0) * xsf - 3) / f32(6.0)
+        x1 = (f32(8.0) * xsf + 5) / f32(6.0)
+        y_1 = (f32(8.0) * ysf - 3) / f32(6.0)
+        y1 = (f32(8.0) * ysf + 5) / f32(6.0)
+        n_int = 2
+        tie_break = True
+    elif mode == "below_intra":
+        x_1 = (f32(6.0) * xsf - 2) / f32(4.0)
+        x1 = (f32(6.0) * xsf + 4) / f32(4.0)
+        y_1 = (f32(6.0) * ysf - 2) / f32(4.0)
+        y1 = (f32(6.0) * ysf + 4) / f32(4.0)
+        n_int = 2
+        tie_break = True
+    else:
+        raise ValueError(mode)
+
+    ix_first = _trunc_i32(x_1 + 1)
+    ix_last = _trunc_i32(x1)
+    iy_first = _trunc_i32(y_1 + 1)
+    iy_last = _trunc_i32(y1)
+
+    # Column specs: (kind, coord_f32_or_int, exists)
+    cols = [("f", x_1, None)]
+    for k in range(n_int):
+        xi = ix_first + k
+        cols.append(("i", xi, xi <= ix_last))
+    cols.append(("f", x1, None))
+
+    rows = [("f", y_1, None, True)]
+    for k in range(n_int):
+        yi = iy_first + k
+        rows.append(("i", yi, yi <= iy_last, True))
+    rows.append(("f", y1, None, False))  # bottom row: no threshold check
+
+    def probe(ckind, cval, rkind, rval):
+        if ckind == "i" and rkind == "i":
+            return _cache_score(neighbor, cval, rval).astype(f32)
+        xf = cval.astype(f32) if ckind == "i" else cval
+        yf = rval.astype(f32) if rkind == "i" else rval
+        return _bilinear_score(neighbor, xf, yf)
+
+    k = xs.shape[0]
+    exceeded = jnp.zeros((k,), bool)
+    first = True
+    mx = ix_first
+    my = iy_first
+    best: Optional[jnp.ndarray] = None
+
+    for rkind, rval, rexists, rcheck in rows:
+        for ci, (ckind, cval, cexists) in enumerate(cols):
+            exists = jnp.ones((k,), bool)
+            if cexists is not None:
+                exists &= cexists
+            if rexists is not None:
+                exists &= rexists
+            v = probe(ckind, cval, rkind, rval)
+            # Position this probe would assign.
+            px = cval if ckind == "i" else (
+                ix_first if ci == 0 else _trunc_i32(cval)
+            )
+            py = rval if rkind == "i" else (
+                iy_first if rkind == "f" and rval is y_1 else _trunc_i32(rval)
+            )
+            if first:
+                best = v
+                first = False
+                if rcheck:
+                    exceeded |= v > threshold
+                continue
+            if rcheck:
+                exceeded |= exists & (v > threshold)
+            if tie_break and ckind == "i" and rkind == "i":
+                # GetScoreMaxBelow middle tie-break (:1004-1028): on
+                # equality, compare smoothed 3x3 sums (threshold-1 scores).
+                def sm(ax, ay):
+                    return (
+                        2 * (
+                            _cache_score(neighbor, ax - 1, ay)
+                            + _cache_score(neighbor, ax + 1, ay)
+                            + _cache_score(neighbor, ax, ay + 1)
+                            + _cache_score(neighbor, ax, ay - 1)
+                        )
+                        + _cache_score(neighbor, ax + 1, ay + 1)
+                        + _cache_score(neighbor, ax - 1, ay + 1)
+                        + _cache_score(neighbor, ax + 1, ay - 1)
+                        + _cache_score(neighbor, ax - 1, ay - 1)
+                    )
+
+                tie = exists & (v == best)
+                t1 = sm(cval, rval)
+                t2 = sm(mx, my)
+                move = tie & (t1 > t2)
+                mx = jnp.where(move, cval, mx)
+                my = jnp.where(move, rval, my)
+            upd = exists & (v > best)
+            best = jnp.where(upd, v, best)
+            mx = jnp.where(upd, px, mx)
+            my = jnp.where(upd, py, my)
+
+    # Subpixel on the 3x3 around (mx, my).
+    patch = _patch33(
+        lambda xg, yg: _cache_score(neighbor, xg, yg), mx, my
+    )
+    dx1, dy1, refined = ast_subpixel2d(patch)
+    real_x = mx.astype(f32) + dx1
+    real_y = my.astype(f32) + dy1
+
+    if mode == "above_octave":
+        dx = (real_x * f32(6.0) + f32(1.0)) / f32(4.0) - xsf
+        dy = (real_y * f32(6.0) + f32(1.0)) / f32(4.0) - ysf
+    elif mode == "above_intra":
+        dx = (real_x * f32(8.0) + f32(1.0)) / f32(6.0) - xsf
+        dy = (real_y * f32(8.0) + f32(1.0)) / f32(6.0) - ysf
+    elif mode == "below_octave":
+        dx = (real_x * f32(6.0) + f32(1.0)) / f32(8.0) - xsf
+        dy = (real_y * f32(6.0) + f32(1.0)) / f32(8.0) - ysf
+    else:
+        dx = (real_x * f32(4.0) - f32(1.0)) / f32(6.0) - xsf
+        dy = (real_y * f32(4.0) - f32(1.0)) / f32(6.0) - ysf
+
+    unrefined = (dx > 1.0) | (dx < -1.0) | (dy > 1.0) | (dy < -1.0)
+    dx = jnp.clip(dx, -1.0, 1.0)
+    dy = jnp.clip(dy, -1.0, 1.0)
+    score = jnp.where(unrefined, best, jnp.maximum(refined, best))
+    ismax = ~exceeded
+    score = jnp.where(ismax, score, 0.0)
+    return ismax, score, dx, dy
+
+
+# ---------------------------------------------------------------------------
+# Refine3D (brisk-scale-space.cc:534-754).
+# ---------------------------------------------------------------------------
+def refine3d(
+    layers: list[AstLayerMaps],
+    i: int,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    t58_layer0: Optional[jnp.ndarray],
+):
+    """Vectorized Refine3D for candidates on layer i (not the last layer).
+
+    Returns (ismax, score, x, y, scale_total) in original-image coords.
+    """
+    this = layers[i]
+    center = _cache_score(this, xs, ys)
+
+    is_octave = i % 2 == 0
+    above_mode = "above_octave" if is_octave else "above_intra"
+    ismax_a, max_above, dxa, dya = _score_patch_max(
+        layers[i + 1], xs, ys, center, above_mode
+    )
+
+    # Patch on this layer.
+    patch = _patch33(lambda xg, yg: _cache_score(this, xg, yg), xs, ys)
+    dxl, dyl, max_layer = ast_subpixel2d(patch)
+    s_1_1 = patch[:, 1, 1]
+
+    centerf = center.astype(f32)
+    max_layer_or_center = jnp.maximum(centerf, max_layer)
+
+    if is_octave:
+        if i == 0:
+            # Virtual below from AGAST 5/8 (brisk-scale-space.cc:556-593).
+            p58 = _patch33(
+                lambda xg, yg: _agast58_score(t58_layer0, xg, yg), xs, ys
+            )
+            max_below = jnp.max(p58.reshape(p58.shape[0], -1), axis=1)
+            dxb, dyb, _ = ast_subpixel2d(p58)
+            max_below_f = max_below.astype(f32)
+            ismax_b = jnp.ones_like(ismax_a)
+        else:
+            ismax_b, max_below_f, dxb, dyb = _score_patch_max(
+                layers[i - 1], xs, ys, center, "below_octave"
+            )
+        # Scale-axis tests (:612-630).
+        if i == 0:
+            no_refine = (s_1_1 - K_MAX_THRESHOLD) <= _trunc_i32(max_above)
+            discard = jnp.zeros_like(no_refine)
+        else:
+            weak = ((s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_above) | (
+                (s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_below_f
+            )
+            edge = ((s_1_1 - K_MIN_DROP).astype(f32) > max_above) | (
+                (s_1_1 - K_MIN_DROP).astype(f32) > max_below_f
+            )
+            no_refine = weak & edge
+            discard = weak & ~edge
+
+        if i == 0:
+            r_scale, r_max = refine1d_2(
+                max_below_f, max_layer_or_center, max_above
+            )
+        else:
+            r_scale, r_max = refine1d(
+                max_below_f, max_layer_or_center, max_above
+            )
+        scale = jnp.where(no_refine, f32(1.0), r_scale)
+        mx = jnp.where(no_refine, max_layer, r_max)
+
+        # Position interpolation (:655-684).
+        r0_up = (f32(1.5) - scale) / f32(0.5)
+        r1_up = f32(1.0) - r0_up
+        x_up = r0_up * dxl + r1_up * dxa + xs.astype(f32)
+        y_up = r0_up * dyl + r1_up * dya + ys.astype(f32)
+
+        r0_dn = (scale - f32(0.5 if i == 0 else 0.75)) / f32(
+            0.5 if i == 0 else 0.25
+        )
+        r1_dn = f32(1.0) - r0_dn
+        x_dn = r0_dn * dxl + r1_dn * dxb + xs.astype(f32)
+        y_dn = r0_dn * dyl + r1_dn * dyb + ys.astype(f32)
+
+        up = scale > 1.0
+        if i == 0:
+            # Layer 0: up-branch multiplies by scale()=1/offset()=0 anyway;
+            # the down-branch explicitly omits the transform (:662-668).
+            x_out = jnp.where(up, x_up, x_dn)
+            y_out = jnp.where(up, y_up, y_dn)
+        else:
+            ls = f32(this.scale)
+            lo = f32(this.offset)
+            x_out = jnp.where(up, x_up * ls + lo, x_dn * ls + lo)
+            y_out = jnp.where(up, y_up * ls + lo, y_dn * ls + lo)
+    else:
+        ismax_b, max_below_f, dxb, dyb = _score_patch_max(
+            layers[i - 1], xs, ys, center, "below_intra"
+        )
+        weak = ((s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_above) | (
+            (s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_below_f
+        )
+        edge = ((s_1_1 - K_MIN_DROP).astype(f32) > max_above) | (
+            (s_1_1 - K_MIN_DROP).astype(f32) > max_below_f
+        )
+        no_refine = weak & edge
+        discard = weak & ~edge
+
+        r_scale, r_max = refine1d_1(max_below_f, max_layer_or_center,
+                                    max_above)
+        scale = jnp.where(no_refine, f32(1.0), r_scale)
+        mx = jnp.where(no_refine, max_layer, r_max)
+
+        r0_up = f32(4.0) - scale * f32(3.0)
+        r1_up = f32(1.0) - r0_up
+        r0_dn = scale * f32(3.0) - f32(2.0)
+        r1_dn = f32(1.0) - r0_dn
+        ls = f32(this.scale)
+        lo = f32(this.offset)
+        x_up = (r0_up * dxl + r1_up * dxa + xs.astype(f32)) * ls + lo
+        y_up = (r0_up * dyl + r1_up * dya + ys.astype(f32)) * ls + lo
+        x_dn = (r0_dn * dxl + r1_dn * dxb + xs.astype(f32)) * ls + lo
+        y_dn = (r0_dn * dyl + r1_dn * dyb + ys.astype(f32)) * ls + lo
+        up = scale > 1.0
+        x_out = jnp.where(up, x_up, x_dn)
+        y_out = jnp.where(up, y_up, y_dn)
+
+    ismax = ismax_a & ismax_b & ~discard
+    scale_total = scale * f32(this.scale)
+    return ismax, mx, x_out, y_out, scale_total, ismax_a, ismax_b
+
+
+# ---------------------------------------------------------------------------
+# Top-level detection (BriskFeatureDetector::detectImpl + GetKeypoints).
+# ---------------------------------------------------------------------------
+def _process_layer(layers, i, xs, ys, t58, e_query, e_patch, prefill):
+    """One layer's maxima pipeline. Returns (is2d, accepted, kp fields)."""
+    layer = layers[i]
+    n_layers = len(layers)
+    is2d = is_max_2d(
+        layer, xs, ys, raw_model="emulated",
+        e_query=e_query, e_patch=e_patch, prefill=prefill,
+    )
+    ls = f32(layer.scale)
+    lo = f32(layer.offset)
+    ones = jnp.ones_like(is2d)
+    if n_layers == 1:
+        patch = _patch33(lambda xg, yg: _cache_score(layer, xg, yg), xs, ys)
+        dxl, dyl, mx = ast_subpixel2d(patch)
+        x_out = xs.astype(f32) + dxl
+        y_out = ys.astype(f32) + dyl
+        score = mx
+        size = jnp.full_like(x_out, K_BASIC_SIZE)
+        accepted = is2d
+        ismax_a = ismax_b = ones
+        octave_idx = 0
+    elif i == n_layers - 1:
+        center = _cache_score(layer, xs, ys)
+        below_mode = "below_octave" if i % 2 == 0 else "below_intra"
+        ismax_b, _, _, _ = _score_patch_max(
+            layers[i - 1], xs, ys, center, below_mode
+        )
+        patch = _patch33(lambda xg, yg: _cache_score(layer, xg, yg), xs, ys)
+        dxl, dyl, mx = ast_subpixel2d(patch)
+        x_out = (xs.astype(f32) + dxl) * ls + lo
+        y_out = (ys.astype(f32) + dyl) * ls + lo
+        score = mx
+        size = jnp.full_like(x_out, f32(K_BASIC_SIZE) * ls)
+        accepted = is2d & ismax_b
+        ismax_a = ones
+        octave_idx = i
+    else:
+        ismax, score, x_out, y_out, scale_total, ismax_a, ismax_b = refine3d(
+            layers, i, xs, ys, t58
+        )
+        size = f32(K_BASIC_SIZE) * scale_total
+        accepted = is2d & ismax
+        octave_idx = i
+    return (
+        is2d,
+        accepted,
+        (x_out, y_out, size, score, octave_idx),
+        ismax_a,
+        ismax_b,
+    )
+
+
+def _aux_maps(layers, cand, pass1):
+    """Build (e_query, e_patch, prefill) per layer from a pass-1 estimate.
+
+    pass1[i] = dict(is2d=, patch_touched=, above_ok=) per layer.
+    e_patch: own-layer 3x3 patch touches (threshold 1) of earlier
+    candidates whose Refine3D reached the patch gather. prefill: layer
+    i-1's GetScoreMaxAbove probe taps on layer i — the full probe window
+    when the scan completed (above_ok), only the first probe's 2x2 taps
+    when it early-exited (the common failure is the very first probe
+    exceeding the drop threshold).
+    """
+    inf = jnp.int32(2**31 - 1)
+    aux = []
+    for i, layer in enumerate(layers):
+        h, w = layer.img.shape
+        xs, ys, valid = cand[i]
+        acc = jnp.zeros((h, w), bool).at[ys, xs].max(
+            valid & pass1[i]["patch_touched"]
+        )
+        rm = (
+            jnp.arange(h, dtype=jnp.int32)[:, None] * w
+            + jnp.arange(w, dtype=jnp.int32)[None, :]
+        )
+        e_patch = jnp.full((h, w), inf)
+        for dx, dy in _NEIGH8:
+            a = _shift_bool(acc, dy, dx)
+            r = _shift_i32(rm, dy, dx, fill=inf)
+            e_patch = jnp.minimum(e_patch, jnp.where(a, r, inf))
+
+        prefill = jnp.zeros((h, w), bool)
+        if i >= 1:
+            pxs, pys, pvalid = cand[i - 1]
+            is2d_prev = pvalid & pass1[i - 1]["is2d"]
+            above_ok = pass1[i - 1]["above_ok"]
+            xf = pxs.astype(f32)
+            yf = pys.astype(f32)
+            if (i - 1) % 2 == 0:
+                lo_x = _trunc_i32((f32(4.0) * xf - 3) / f32(6.0))
+                hi_x = _trunc_i32((f32(4.0) * xf + 1) / f32(6.0)) + 1
+                lo_y = _trunc_i32((f32(4.0) * yf - 3) / f32(6.0))
+                hi_y = _trunc_i32((f32(4.0) * yf + 1) / f32(6.0)) + 1
+            else:
+                lo_x = _trunc_i32((f32(6.0) * xf - 4) / f32(8.0))
+                hi_x = _trunc_i32((f32(6.0) * xf + 2) / f32(8.0)) + 1
+                lo_y = _trunc_i32((f32(6.0) * yf - 4) / f32(8.0))
+                hi_y = _trunc_i32((f32(6.0) * yf + 2) / f32(8.0)) + 1
+            # Early-exit: only the first probe's bilinear taps (2x2 at lo).
+            hi_x_eff = jnp.where(above_ok, hi_x, lo_x + 1)
+            hi_y_eff = jnp.where(above_ok, hi_y, lo_y + 1)
+            for kx in range(3):
+                for ky in range(3):
+                    qx = jnp.clip(lo_x + kx, 0, w - 1)
+                    qy = jnp.clip(lo_y + ky, 0, h - 1)
+                    m = (
+                        is2d_prev
+                        & (lo_x + kx <= hi_x_eff)
+                        & (lo_y + ky <= hi_y_eff)
+                    )
+                    prefill = prefill.at[qy, qx].max(m)
+        aux.append((earliest_toucher_map(layer), e_patch, prefill))
+    return aux
+
+
+def detect_ast_keypoints(
+    img: jnp.ndarray,
+    threshold: int = 70,
+    octaves: int = 3,
+    max_candidates_per_layer: int = 2048,
+    raw_cache_model: str = "emulated",
+) -> KeyPoints:
+    """Dense BRISK-AST detection. Returns fixed-capacity KeyPoints.
+
+    Two passes: pass 1 estimates per-layer decisions with query-only
+    cache emulation; pass 2 re-runs with the patch/cross-layer cache-fill
+    maps built from pass 1 (see is_max_2d)."""
+    layers = build_ast_pyramid(img, octaves, threshold)
+    n_layers = len(layers)
+    t58 = agast5_8_score_map(layers[0].img) if n_layers > 1 else None
+
+    cand = []
+    for layer in layers:
+        ys, xs = jnp.nonzero(
+            layer.corner, size=max_candidates_per_layer, fill_value=0
+        )
+        xs = xs.astype(jnp.int32)
+        ys = ys.astype(jnp.int32)
+        valid = (
+            jnp.arange(max_candidates_per_layer)
+            < jnp.sum(layer.corner.astype(jnp.int32))
+        )
+        cand.append((xs, ys, valid))
+
+    aux = [(None, None, None)] * n_layers
+    if raw_cache_model == "emulated":
+        pass1 = []
+        for i in range(n_layers):
+            xs, ys, valid = cand[i]
+            is2d, _, _, ismax_a, ismax_b = _process_layer(
+                layers, i, xs, ys, t58, None, None, None
+            )
+            pass1.append(
+                dict(
+                    is2d=is2d,
+                    patch_touched=is2d & ismax_a & ismax_b,
+                    above_ok=ismax_a,
+                )
+            )
+        aux = _aux_maps(layers, cand, pass1)
+
+    per_layer = []
+    for i in range(n_layers):
+        xs, ys, valid = cand[i]
+        e_q, e_p, pre = aux[i]
+        if raw_cache_model != "emulated":
+            is2d = is_max_2d(layers[i], xs, ys, raw_model=raw_cache_model)
+            _, accepted, fields, _, _ = _process_layer(
+                layers, i, xs, ys, t58, None, None, None
+            )
+            accepted &= is2d
+        else:
+            _, accepted, fields, _, _ = _process_layer(
+                layers, i, xs, ys, t58, e_q, e_p, pre
+            )
+        x_out, y_out, size, score, octave_idx = fields
+        per_layer.append(
+            KeyPoints(
+                x=x_out,
+                y=y_out,
+                size=size,
+                angle=jnp.full_like(x_out, -1.0),
+                response=score.astype(f32),
+                octave=jnp.full(x_out.shape, octave_idx, jnp.int32),
+                valid=valid & accepted,
+            )
+        )
+
+    return KeyPoints.concatenate(per_layer)

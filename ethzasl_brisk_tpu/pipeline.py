@@ -80,7 +80,10 @@ class BriskFeature:
         return self._extractor.descriptor_bytes
 
     def detect(self, img: jnp.ndarray) -> KeyPoints:
-        return detect_keypoints(img, self._config)
+        kps = detect_keypoints(img, self._config)
+        if kps.capacity > self.max_keypoints:
+            kps = kps.top_k(self.max_keypoints)
+        return kps
 
     def compute(
         self, img: jnp.ndarray, keypoints: KeyPoints
@@ -94,3 +97,55 @@ class BriskFeature:
         """Detect keypoints and compute descriptors on one uint8 image."""
         kps = self.detect(img)
         return self.compute(img, kps)
+
+
+@dataclasses.dataclass(frozen=True)
+class BriskFeatureDetector:
+    """Classic AGAST/OAST detection facade + BRISK description.
+
+    Mirrors ``brisk::BriskFeatureDetector(thresh, octaves,
+    suppressScaleNonmaxima)`` (``brisk-feature-detector.h:56-57``) paired
+    with ``BriskDescriptorExtractor`` as in the reference's AST golden run
+    (``test-binary-equal.cc:322-331``) and match test (``test-match.cc``).
+    """
+
+    threshold: int = 70
+    octaves: int = 3
+    rotation_invariant: bool = True
+    scale_invariant: bool = True
+    version: str = "v2"
+    max_candidates_per_layer: int = 2048
+
+    def __post_init__(self):
+        object.__setattr__(
+            self,
+            "_extractor",
+            BriskExtractor(
+                rotation_invariant=self.rotation_invariant,
+                scale_invariant=self.scale_invariant,
+                version=self.version,
+            ),
+        )
+
+    @property
+    def extractor(self) -> BriskExtractor:
+        return self._extractor
+
+    def detect(self, img: jnp.ndarray) -> KeyPoints:
+        from ethzasl_brisk_tpu.detect.ast_scale_space import (
+            detect_ast_keypoints,
+        )
+
+        return detect_ast_keypoints(
+            img,
+            threshold=self.threshold,
+            octaves=self.octaves,
+            max_candidates_per_layer=self.max_candidates_per_layer,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def detect_and_compute(
+        self, img: jnp.ndarray
+    ) -> tuple[KeyPoints, jnp.ndarray]:
+        kps = self.detect(img)
+        return self._extractor(img, kps)

@@ -1,0 +1,135 @@
+"""Monocular visual-odometry front-end on BRISK tracks.
+
+New scope beyond the reference (SURVEY.md section 2.5): the reference ends
+at matching; the north star's config 3 is a frame-to-frame VO front-end
+(TUM fr1-style monocular sequences). Composition:
+
+  detect+describe (pipeline.BriskFeature, Harris path by default —
+  fastest dense path) -> ratio+cross-check matching (match.matcher) ->
+  unprojection through the camera model (geometry.cameras) ->
+  batched-hypothesis essential RANSAC + cheirality decomposition
+  (geometry.ransac) -> relative pose (R, t_unit).
+
+Monocular scale is unobservable; translation magnitude is left at unit
+norm (callers integrate scale from an external prior, e.g. ground truth
+norm for benchmark ATE, or the BA layer).
+
+Everything is jit-compiled with static shapes; per-frame state is a pair
+(descriptors, keypoints) carried functionally.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ethzasl_brisk_tpu.core.keypoints import KeyPoints
+from ethzasl_brisk_tpu.geometry.cameras import PinholeCamera
+from ethzasl_brisk_tpu.geometry.ransac import (
+    decompose_essential,
+    ransac_essential,
+)
+from ethzasl_brisk_tpu.match.matcher import match_with_ratio_and_crosscheck
+from ethzasl_brisk_tpu.pipeline import BriskFeature
+
+
+@dataclasses.dataclass(frozen=True)
+class VoConfig:
+    max_hamming: int = 80
+    ratio_num: int = 8
+    ratio_den: int = 10
+    ransac_threshold: float = 2e-5   # Sampson, normalized coords
+    ransac_hypotheses: int = 512
+    min_inliers: int = 30
+
+
+@dataclasses.dataclass(frozen=True)
+class VoFrontend:
+    """Frame-to-frame monocular VO."""
+
+    camera: PinholeCamera
+    feature: BriskFeature
+    config: VoConfig = VoConfig()
+
+    def process_frame(self, img: jnp.ndarray):
+        """One frame -> (keypoints, descriptors)."""
+        return self.feature.detect_and_compute(img)
+
+    def relative_pose(
+        self,
+        key,
+        kp_a: KeyPoints,
+        desc_a: jnp.ndarray,
+        kp_b: KeyPoints,
+        desc_b: jnp.ndarray,
+    ):
+        """Relative pose b->a: returns (R, t_unit, n_inliers, matched)."""
+        cfg = self.config
+        best, matched = match_with_ratio_and_crosscheck(
+            desc_a,
+            desc_b,
+            kp_a.valid,
+            kp_b.valid,
+            max_distance=cfg.max_hamming,
+            ratio_num=cfg.ratio_num,
+            ratio_den=cfg.ratio_den,
+        )
+        pa = jnp.stack([kp_a.x, kp_a.y], axis=-1)
+        pb = jnp.stack(
+            [jnp.take(kp_b.x, best), jnp.take(kp_b.y, best)], axis=-1
+        )
+        ra3 = self.camera.unproject(pa)
+        rb3 = self.camera.unproject(pb)
+        ra = ra3[..., :2] / ra3[..., 2:3]
+        rb = rb3[..., :2] / rb3[..., 2:3]
+
+        e, inl, n_inl = ransac_essential(
+            key,
+            ra,
+            rb,
+            matched,
+            threshold=cfg.ransac_threshold,
+            n_hypotheses=cfg.ransac_hypotheses,
+        )
+        r, t, n_front = decompose_essential(e, ra, rb, inl)
+        ok = n_inl >= cfg.min_inliers
+        return r, t, n_inl, ok, inl
+
+    def run_sequence(self, frames, key=None, scale_norms=None):
+        """Host driver: integrate frame-to-frame poses over a sequence.
+
+        frames: iterable of (H, W) uint8 numpy arrays.
+        scale_norms: optional per-step translation magnitudes (monocular
+        scale prior); defaults to 1.
+        Returns list of 4x4 world-from-camera poses (first = identity).
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        poses = [np.eye(4)]
+        prev = None
+        for i, frame in enumerate(frames):
+            cur = self.process_frame(jnp.asarray(frame))
+            if prev is not None:
+                key, sub = jax.random.split(key)
+                r, t, n_inl, ok, _ = self.relative_pose(
+                    sub, prev[0], prev[1], cur[0], cur[1]
+                )
+                r = np.asarray(r)
+                t = np.asarray(t)
+                s = 1.0 if scale_norms is None else float(
+                    scale_norms[i - 1]
+                )
+                # relative_pose returns points_b = R points_a + t
+                # (camera b seen from a); invert for world integration.
+                t_ab = np.eye(4)
+                t_ab[:3, :3] = r.T
+                t_ab[:3, 3] = -r.T @ (t * s)
+                if bool(ok):
+                    poses.append(poses[-1] @ t_ab)
+                else:
+                    poses.append(poses[-1].copy())  # lost: hold pose
+            prev = cur
+        return poses

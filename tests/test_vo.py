@@ -1,0 +1,111 @@
+"""VO front-end test: synthetic planar-texture sequence with known motion.
+
+Renders a textured plane under small camera rotations+translations, runs
+the full detect->describe->match->RANSAC pipeline, and checks the
+recovered relative rotation/translation directions (monocular scale is
+left at unit norm).
+"""
+import numpy as np
+import pytest
+
+
+def render_scene(texture, cam, r, t):
+    """Render a two-depth scene (far plane + near slab) at pose (r, t).
+
+    A single plane is degenerate for the essential matrix; the near slab
+    adds the parallax needed for a well-conditioned two-view geometry.
+    """
+    from scipy import ndimage
+
+    h, w = cam.height, cam.width
+    ys, xs = np.mgrid[0:h, 0:w]
+    xn = (xs - float(cam.cu)) / float(cam.fu)
+    yn = (ys - float(cam.cv)) / float(cam.fv)
+    rays = np.stack([xn, yn, np.ones_like(xn)], -1)  # posed-camera rays
+
+    def backproject(z0):
+        # p_c = lam * ray; p_w = r.T (p_c - t); p_w.z = z0.
+        rinv = r.T
+        d = rays @ rinv.T          # direction of p_w per unit lam
+        o = -(rinv @ t)            # p_w at lam = 0
+        lam = (z0 - o[2]) / d[..., 2]
+        return o + d * lam[..., None]
+
+    def tex_at(pw):
+        u = pw[..., 0] / pw[..., 2] * float(cam.fu) + float(cam.cu)
+        v = pw[..., 1] / pw[..., 2] * float(cam.fv) + float(cam.cv)
+        return ndimage.map_coordinates(
+            texture.astype(np.float32), [v, u], order=1, mode="nearest"
+        )
+
+    pw_near = backproject(3.0)
+    pw_far = backproject(6.0)
+    near_mask = (np.abs(pw_near[..., 0]) < 1.1) & (
+        np.abs(pw_near[..., 1]) < 0.85
+    )
+    img = np.where(near_mask, tex_at(pw_near), tex_at(pw_far))
+    return img.astype(np.uint8)
+
+
+@pytest.mark.slow
+def test_vo_relative_pose():
+    import jax
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.geometry import PinholeCamera
+    from ethzasl_brisk_tpu.pipeline import BriskFeature
+    from ethzasl_brisk_tpu.vo import VoConfig, VoFrontend
+
+    rng = np.random.default_rng(0)
+    from scipy import ndimage
+
+    texture = ndimage.gaussian_filter(
+        rng.uniform(0, 255, (480, 640)), 2.0
+    )
+    texture = (
+        (texture - texture.min()) / (np.ptp(texture) + 1e-9) * 255
+    ).astype(np.uint8)
+
+    cam = PinholeCamera.create(400.0, 400.0, 320.0, 240.0, 640, 480)
+    angle = 0.02
+    r_true = np.array(
+        [
+            [np.cos(angle), 0, np.sin(angle)],
+            [0, 1, 0],
+            [-np.sin(angle), 0, np.cos(angle)],
+        ]
+    )
+    t_true = np.array([0.12, 0.03, 0.02])
+
+    img_a = render_scene(texture, cam, np.eye(3), np.zeros(3))
+    img_b = render_scene(texture, cam, r_true, t_true)
+
+    feature = BriskFeature(
+        octaves=2,
+        uniformity_radius=0.0,
+        absolute_threshold=40.0,
+        max_candidates=1024,
+        max_keypoints=1024,
+    )
+    vo = VoFrontend(camera=cam, feature=feature, config=VoConfig())
+    ka, da = vo.process_frame(jnp.asarray(img_a))
+    kb, db = vo.process_frame(jnp.asarray(img_b))
+    r, t, n_inl, ok, _ = vo.relative_pose(
+        jax.random.PRNGKey(2), ka, da, kb, db
+    )
+    assert bool(ok), f"only {int(n_inl)} inliers"
+    r = np.asarray(r)
+    t = np.asarray(t)
+    rot_err = np.degrees(
+        np.arccos(np.clip((np.trace(r @ r_true.T) - 1) / 2, -1, 1))
+    )
+    t_dir_err = np.degrees(
+        np.arccos(
+            np.clip(
+                abs(t @ (t_true / np.linalg.norm(t_true))), -1, 1
+            )
+        )
+    )
+    # f32 8-point + refit; tighter bounds come with GN refinement in ba/.
+    assert rot_err < 1.0, rot_err
+    assert t_dir_err < 8.0, t_dir_err
