@@ -1,0 +1,194 @@
+"""Windowed bundle adjustment with Schur-complement reduction.
+
+The north-star BA layer (no reference counterpart — SURVEY.md section
+2.5): keyframe-window Gauss-Newton over poses and landmarks with the
+classic sparsity exploit, recast dense-batched for the TPU:
+
+* observations are a static-capacity structure-of-arrays
+  (kf_idx, lm_idx, uv, valid) — ragged windows are padded and masked;
+* reprojection Jacobians are computed batched over all observations at
+  once (closed-form chain through SE(3) retraction and the pinhole
+  projection);
+* the normal equations' blocks are assembled with ``segment_sum``
+  scatters: B (K, 6, 6) pose blocks, C (L, 3, 3) landmark blocks,
+  E (O, 6, 3) coupling terms;
+* the Schur complement S = B - E C^-1 E^T is built from per-landmark
+  outer products (batched 6x3 @ 3x3 @ 3x6 matmuls + scatter-add into
+  (K, K, 6, 6)), solved densely (6K x 6K — small for a window), and
+  landmarks back-substituted in parallel;
+* Levenberg damping with a fixed iteration count under ``lax.fori_loop``
+  (TPU-friendly static control flow).
+
+Gauge: pose 0 is held fixed (its update rows are masked).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ethzasl_brisk_tpu.ba.se3 import hat, se3_exp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BaProblem:
+    """Static-capacity BA window.
+
+    poses: world-from-camera inverse? Convention: camera-from-world
+      (R, t): x_cam = R x_world + t.
+    """
+
+    r: jax.Array          # (K, 3, 3) camera-from-world rotations
+    t: jax.Array          # (K, 3)
+    points: jax.Array     # (L, 3) world landmarks
+    kf_idx: jax.Array     # (O,) int32
+    lm_idx: jax.Array     # (O,) int32
+    uv: jax.Array         # (O, 2) observed pixels
+    valid: jax.Array      # (O,) bool
+    fu: jax.Array
+    fv: jax.Array
+    cu: jax.Array
+    cv: jax.Array
+
+
+def _residual_and_jacobians(p: BaProblem):
+    """Batched residuals + closed-form Jacobians.
+
+    Returns (res (O, 2), J_pose (O, 2, 6), J_point (O, 2, 3), w (O,)).
+    Pose Jacobian is wrt a LEFT-multiplied se(3) increment on
+    camera-from-world: T <- exp(xi) o T.
+    """
+    rk = p.r[p.kf_idx]          # (O, 3, 3)
+    tk = p.t[p.kf_idx]          # (O, 3)
+    x_w = p.points[p.lm_idx]    # (O, 3)
+    x_c = jnp.einsum("oij,oj->oi", rk, x_w) + tk
+    z = x_c[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / z_safe
+    u = p.fu * x_c[:, 0] * iz + p.cu
+    v = p.fv * x_c[:, 1] * iz + p.cv
+    res = jnp.stack([u, v], -1) - p.uv
+
+    # d(pixel)/d(x_c).
+    iz2 = iz * iz
+    j_proj = jnp.stack(
+        [
+            jnp.stack(
+                [p.fu * iz, jnp.zeros_like(iz), -p.fu * x_c[:, 0] * iz2], -1
+            ),
+            jnp.stack(
+                [jnp.zeros_like(iz), p.fv * iz, -p.fv * x_c[:, 1] * iz2], -1
+            ),
+        ],
+        -2,
+    )  # (O, 2, 3)
+
+    # d(x_c)/d(xi): left increment => dx_c = dtheta x x_c + dv.
+    j_xc_pose = jnp.concatenate(
+        [-hat(x_c), jnp.broadcast_to(jnp.eye(3, dtype=x_c.dtype),
+                                     (*x_c.shape[:-1], 3, 3))],
+        axis=-1,
+    )  # (O, 3, 6)
+    j_pose = j_proj @ j_xc_pose      # (O, 2, 6)
+    j_point = j_proj @ rk            # (O, 2, 3)
+
+    w = p.valid.astype(res.dtype) * (z > 0.1).astype(res.dtype)
+    return res, j_pose, j_point, w
+
+
+def _gauss_newton_step(p: BaProblem, damping):
+    res, j_po, j_pt, w = _residual_and_jacobians(p)
+    k = p.r.shape[0]
+    n_lm = p.points.shape[0]
+
+    wres = res * w[:, None]
+    # Block assembly (segment sums over observations).
+    b_blocks = jax.ops.segment_sum(
+        jnp.einsum("oai,oab->oib", j_po * w[:, None, None], j_po), p.kf_idx,
+        num_segments=k,
+    )  # (K, 6, 6)   == J_po^T J_po per pose
+    c_blocks = jax.ops.segment_sum(
+        jnp.einsum("oai,oab->oib", j_pt * w[:, None, None], j_pt), p.lm_idx,
+        num_segments=n_lm,
+    )  # (L, 3, 3)
+    g_pose = jax.ops.segment_sum(
+        jnp.einsum("oai,oa->oi", j_po, wres), p.kf_idx, num_segments=k
+    )  # (K, 6)
+    g_pt = jax.ops.segment_sum(
+        jnp.einsum("oai,oa->oi", j_pt, wres), p.lm_idx, num_segments=n_lm
+    )  # (L, 3)
+    e_obs = jnp.einsum("oai,oab->oib", j_po * w[:, None, None], j_pt)
+    # E blocks per (pose, landmark) pair appear once per obs; keep per-obs.
+
+    # Damp.
+    eye6 = jnp.eye(6, dtype=res.dtype)
+    eye3 = jnp.eye(3, dtype=res.dtype)
+    c_damped = c_blocks + damping * eye3[None]
+    c_inv = jnp.linalg.inv(
+        c_damped
+        + 1e-9 * eye3[None]
+    )
+
+    # Schur: S = B - sum_obs-pairs E C^-1 E^T. Because each landmark can be
+    # seen by several poses, build per-landmark pose-coupling by grouping
+    # observations of the same landmark: S_{k1,k2} -= E_{k1,l} Cinv_l
+    # E_{k2,l}^T. Assemble with a dense (L, K, 6, 3) coupling tensor
+    # (windows are small: K ~ 10, L ~ thousands).
+    e_dense = jnp.zeros((n_lm, k, 6, 3), res.dtype)
+    e_dense = e_dense.at[p.lm_idx, p.kf_idx].add(e_obs)
+    ec = jnp.einsum("lkis,lst->lkit", e_dense, c_inv)     # (L, K, 6, 3)
+    s_red = jnp.einsum("lkit,lmjt->kimj", ec, e_dense)    # (K, 6, K, 6)
+
+    b_dense = jnp.zeros((k, 6, k, 6), res.dtype)
+    b_dense = b_dense.at[jnp.arange(k), :, jnp.arange(k), :].set(
+        b_blocks + damping * eye6[None]
+    )
+    s = (b_dense - s_red).reshape(6 * k, 6 * k)
+
+    rhs_pose = g_pose - jnp.einsum(
+        "lkit,lt->ki", ec, g_pt
+    )  # (K, 6)
+    rhs = rhs_pose.reshape(6 * k)
+
+    # Gauge fixing: freeze pose 0 (replace its rows/cols with identity).
+    fix = jnp.arange(6 * k) < 6
+    s = jnp.where(fix[:, None] | fix[None, :], 0.0, s)
+    s = s + jnp.diag(fix.astype(res.dtype))
+    rhs = jnp.where(fix, 0.0, rhs)
+
+    delta_pose = -jnp.linalg.solve(s, rhs).reshape(k, 6)
+
+    # Back-substitute landmarks: C dx_l = -g_l - E^T dx_pose.
+    et_dx = jnp.einsum("lkis,ki->ls", e_dense, delta_pose)
+    delta_pt = -jnp.einsum(
+        "lst,lt->ls", c_inv, g_pt + et_dx
+    )
+
+    # Retract.
+    dr, dt = se3_exp(delta_pose)
+    r_new = dr @ p.r
+    t_new = jnp.einsum("kij,kj->ki", dr, p.t) + dt
+    pts_new = p.points + delta_pt
+    cost = jnp.sum(wres * res)
+    return dataclasses.replace(
+        p, r=r_new, t=t_new, points=pts_new
+    ), cost
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def solve_window_ba(
+    problem: BaProblem, iterations: int = 10, damping: float = 1e-4
+):
+    """Run fixed-iteration damped Gauss-Newton. Returns (problem, costs)."""
+
+    def body(i, state):
+        prob, costs = state
+        prob2, cost = _gauss_newton_step(prob, jnp.asarray(damping,
+                                                          prob.r.dtype))
+        return prob2, costs.at[i].set(cost)
+
+    costs0 = jnp.zeros((iterations,), problem.r.dtype)
+    return jax.lax.fori_loop(0, iterations, body, (problem, costs0))
