@@ -8,9 +8,42 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # Native IO runtime (native/briskio.cc; build with native/build.py).
+    from ethzasl_brisk_tpu._native import briskio as _briskio
+except ImportError:  # pure-Python fallback
+    _briskio = None
+
 
 def read_pgm(path: str) -> np.ndarray:
-    """Read an 8/16-bit PGM (P2 ascii or P5 binary) as a 2-D numpy array."""
+    """Read an 8/16-bit PGM; uses the native loader when built (8-bit)."""
+    if _briskio is not None:
+        try:
+            h, w, data = _briskio.read_pgm(path)
+            return np.frombuffer(data, np.uint8).reshape(h, w).copy()
+        except IOError:
+            pass  # e.g. 16-bit — fall through to the Python reader
+    return _read_pgm_py(path)
+
+
+def read_pgm_batch(paths, n_threads: int = 8) -> np.ndarray:
+    """Read a batch of same-sized 8-bit PGMs -> (N, H, W) uint8.
+
+    Uses the multithreaded native loader when available — the host side
+    of the frame pipeline's data-loading stage.
+    """
+    if _briskio is not None:
+        entries = _briskio.read_batch(list(paths), n_threads)
+        return np.stack(
+            [
+                np.frombuffer(d, np.uint8).reshape(h, w)
+                for h, w, d in entries
+            ]
+        )
+    return np.stack([read_pgm(p) for p in paths])
+
+
+def _read_pgm_py(path: str) -> np.ndarray:
+    """Pure-Python PGM reader (P2 ascii or P5 binary, 8/16-bit)."""
     with open(path, "rb") as f:
         data = f.read()
 

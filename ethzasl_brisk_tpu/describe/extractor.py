@@ -122,8 +122,9 @@ def smoothed_intensity_u8(
         return inti[y, x]
 
     # ---- Small-sigma path: integer bilinear (:391-408).
-    x_i = _trunc_i32(xf)
-    y_i = _trunc_i32(yf)
+    x_i, y_i = jax.lax.optimization_barrier(
+        (_trunc_i32(xf), _trunc_i32(yf))
+    )
     r_x = _trunc_i32((xf - x_i.astype(jnp.float32)) * 1024)
     r_y = _trunc_i32((yf - y_i.astype(jnp.float32)) * 1024)
     r_x_1 = 1024 - r_x
@@ -149,6 +150,12 @@ def smoothed_intensity_u8(
     y_top = _trunc_i32(y_1 + 0.5)
     x_right = _trunc_i32(x1 + 0.5)
     y_bottom = _trunc_i32(y1 + 0.5)
+    # Materialize the tap indices: keeps XLA:TPU from fusing the index
+    # arithmetic into the gathers (fused scatter/gather loops serialize;
+    # standalone gathers with materialized index operands vectorize).
+    x_left, y_top, x_right, y_bottom = jax.lax.optimization_barrier(
+        (x_left, y_top, x_right, y_bottom)
+    )
 
     r_x_1f = x_left.astype(jnp.float32) - x_1 + 0.5
     r_y_1f = y_top.astype(jnp.float32) - y_1 + 0.5

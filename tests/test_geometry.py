@@ -136,3 +136,86 @@ class TestRansac:
         # Rotation within ~0.5 deg; translation direction within ~2 deg.
         assert np.abs(np.trace(r @ r_true.T) - 3) < 3e-4
         assert np.abs(t @ t_true) > 0.999
+
+
+class TestCameraAware:
+    def test_undistorted_extraction(self, jnp):
+        """Warp-canonicalized detection on a synthetically distorted image:
+        keypoints map back into the distorted frame consistently."""
+        import jax
+
+        from ethzasl_brisk_tpu.geometry import (
+            PinholeCamera,
+            RadialTangentialDistortion,
+        )
+        from ethzasl_brisk_tpu.geometry.camera_aware import (
+            CameraAwareFeature,
+            bilinear_remap,
+        )
+        from ethzasl_brisk_tpu.pipeline import BriskFeature
+
+        rng = np.random.default_rng(6)
+        from scipy import ndimage
+
+        tex = ndimage.gaussian_filter(rng.uniform(0, 255, (240, 320)), 1.5)
+        tex = ((tex - tex.min()) / (np.ptp(tex) + 1e-9) * 255).astype(
+            np.uint8
+        )
+
+        dist = RadialTangentialDistortion.create(-0.25, 0.06, 0.0, 0.0)
+        cam = PinholeCamera.create(260.0, 260.0, 160.0, 120.0, 320, 240,
+                                   dist)
+        feature = BriskFeature(
+            octaves=0,
+            uniformity_radius=0.0,
+            absolute_threshold=40.0,
+            max_candidates=256,
+            max_keypoints=256,
+        )
+        caf = CameraAwareFeature(camera=cam, feature=feature)
+
+        # Build a "distorted capture" of the texture: the texture IS the
+        # undistorted view, so capture[p] = tex[undistort(p)] which means
+        # remapping with the *undistort* maps. Reuse warp machinery:
+        # distorted pixel -> normalized -> undistort -> virtual pixel.
+        ys, xs = np.mgrid[0:240, 0:320]
+        xn = (xs - 160.0) / 260.0
+        yn = (ys - 120.0) / 260.0
+        pu = np.asarray(
+            dist.undistort(jnp.asarray(np.stack([xn, yn], -1), jnp.float32))
+        )
+        u = 260.0 * pu[..., 0] + 160.0
+        v = 260.0 * pu[..., 1] + 120.0
+        captured = np.asarray(
+            bilinear_remap(jnp.asarray(tex), jnp.asarray(u, jnp.float32),
+                           jnp.asarray(v, jnp.float32))
+        )
+
+        kps, desc, warped = caf.detect_and_compute(jnp.asarray(captured))
+        n = int(kps.count())
+        assert n > 20
+
+        # The warped view approximates the original texture; detections in
+        # the warped view should sit on texture corners: re-detect on the
+        # raw texture and check proximity of the two sets.
+        kps_ref, _ = feature.detect_and_compute(jnp.asarray(tex))
+        from scipy.spatial import cKDTree
+
+        a = np.stack(
+            [np.asarray(kps_ref.x)[np.asarray(kps_ref.valid)],
+             np.asarray(kps_ref.y)[np.asarray(kps_ref.valid)]], 1
+        )
+        # Compare in the undistorted (virtual) domain: map detections of
+        # the warped view there directly (they were detected there).
+        vx = np.asarray(kps.x)[np.asarray(kps.valid)]
+        vy = np.asarray(kps.y)[np.asarray(kps.valid)]
+        # kps were mapped back to distorted coords; re-map to virtual.
+        pn = np.stack([(vx - 160.0) / 260.0, (vy - 120.0) / 260.0], -1)
+        puk = np.asarray(
+            dist.undistort(jnp.asarray(pn, jnp.float32))
+        )
+        b = np.stack(
+            [260.0 * puk[..., 0] + 160.0, 260.0 * puk[..., 1] + 120.0], 1
+        )
+        d, _ = cKDTree(a).query(b, distance_upper_bound=3.0)
+        assert (np.isfinite(d)).mean() > 0.5, (np.isfinite(d)).mean()
