@@ -33,10 +33,14 @@ def main() -> None:
         absolute_threshold=30.0,
         max_candidates=512,
         max_keypoints=512,
+        sampler="gather",
     )
     mesh = make_mesh(1, 1)
     pipe = FramePipeline(feature=feature, mesh=mesh)
-    step = jax.jit(pipe.step)
+    # NOTE: pipe.step is internally jitted with the pattern tables as
+    # runtime args; wrapping it in another jit would re-capture them as
+    # closure constants (~2000x slower on TPU).
+    step = pipe.step
 
     rng = np.random.default_rng(7)
     # Natural-image-like input: smoothed noise so detection does real work.

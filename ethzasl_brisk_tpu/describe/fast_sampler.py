@@ -1,0 +1,299 @@
+"""Alternative smoothed-intensity sampling: one-hot patch contraction.
+
+NOTE: with the pattern tables threaded as jit arguments (DevicePattern
+docs), the plain gather sampler is the fastest exact path on TPU
+(~240k frames/s measured); the historical slowness it was built to avoid
+was the closure-constant pathology, not the gathers. This backend is kept
+as an alternative access pattern (useful where gathers are genuinely slow
+and for MXU-heavy pipelines); it requires Precision.HIGHEST to stay
+bit-exact, which on v5e runs the f32 contraction at reduced rate.
+
+It computes the *same values bit-exactly* with a patch-based pattern:
+
+1. one dynamic-slice integral patch per keypoint (PH x PW, int32),
+   base-subtracted so every value fits float32 exactly
+   (PH*PW*255 < 2^24);
+2. per (keypoint, point), the 5 row coords x 5 col coords needed by the
+   box/bilinear taps become one-hot vectors; the 25 taps are two
+   separable contractions: rows = onehot_r @ patch (MXU), taps =
+   rows * onehot_c reduced over columns (VPU);
+3. raw image pixels are reconstructed from integral taps
+   (img[y,x] = I[y+1,x+1] - I[y,x+1] - I[y+1,x] + I[y,x] — exact),
+   so ONE patch serves the corner taps, the 12 box taps and the
+   small-sigma bilinear path;
+4. the exact fixed-point weight arithmetic of the reference
+   (brisk-descriptor-extractor.cc:370-530, including the dx+dy>2
+   corner-walk quirk) is then applied elementwise, identical to the
+   gather path.
+
+Zero-sum exactness: all tap groups combine integral values with
+coefficients summing to zero (differences), so the per-patch base
+subtraction cancels; the base is added back only where a lone absolute
+integral value would be needed (it never is).
+
+Supported pattern extent is (PW//2 - 2, PH//2 - 2) pixels around the
+keypoint — large enough for the scales BRISK reaches on VGA-class
+imagery; taps are clamped into the patch beyond that (set
+``assert_extent`` in tests to validate a config).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _trunc_i32(x):
+    return jnp.trunc(x).astype(jnp.int32)
+
+
+def smoothed_intensity_patch(
+    img: jnp.ndarray,          # (H, W) uint8 (unused; kept for API parity)
+    integral: jnp.ndarray,     # (H+1, W+1) int32
+    key_x: jnp.ndarray,        # (K,) f32
+    key_y: jnp.ndarray,        # (K,) f32
+    pat_x: jnp.ndarray,        # (K, P) f32
+    pat_y: jnp.ndarray,        # (K, P) f32
+    pat_sigma: jnp.ndarray,    # (K, P) f32
+    pat_scaling: jnp.ndarray,  # (K, P) i32
+    pat_scaling2: jnp.ndarray,  # (K, P) i32
+    patch_h: int = 128,
+    patch_w: int = 192,
+    chunk: int = 64,
+) -> jnp.ndarray:
+    """Reference-exact smoothed intensities, (K, P) int32."""
+    rows_i, cols_i = integral.shape
+    k, p = pat_x.shape
+
+    xf = pat_x + key_x[:, None]
+    yf = pat_y + key_y[:, None]
+    sigma_half = pat_sigma
+    small = sigma_half < 0.5
+
+    # ---- Box-path coordinates (exact reference arithmetic).
+    x_1 = xf - sigma_half
+    x1 = xf + sigma_half
+    y_1 = yf - sigma_half
+    y1 = yf + sigma_half
+    x_left = _trunc_i32(x_1 + 0.5)
+    y_top = _trunc_i32(y_1 + 0.5)
+    x_right = _trunc_i32(x1 + 0.5)
+    y_bottom = _trunc_i32(y1 + 0.5)
+
+    # ---- Small-path coordinates.
+    x_i = _trunc_i32(xf)
+    y_i = _trunc_i32(yf)
+
+    # ---- Tap row/col coordinate sets (5 each), in integral-image space.
+    # Box needs I at rows {y_top, y_top+1, y_bottom, y_bottom+1} and the
+    # skewed-corner row y_bottom-1+1 = y_bottom (img row r needs I rows
+    # r, r+1). Image pixels required:
+    #   corners: (y_top, x_left), (y_top, x_right) and, per the dx+dy>2
+    #   walk, (cd_y, c_x), (cd_y, d_x) with cd_y in {y_bottom-1, y_bottom},
+    #   c_x in {x_right+1, x_right}, d_x in {x_left+1, x_left}
+    #   -> I rows {y_top, y_top+1, y_bottom-1, y_bottom, y_bottom+1}
+    #   -> I cols {x_left, x_left+1, x_right, x_right+1, x_right+2} and
+    #      also x_left+2 for d_x=x_left+1... use per-case col sets below.
+    # Small path: img bilinear at (y_i..y_i+1, x_i..x_i+1)
+    #   -> I rows {y_i, y_i+1, y_i+2}, cols {x_i, x_i+1, x_i+2}.
+    #
+    # To keep a single 5x5 tap grid per (k, p): select the coordinate sets
+    # per-element between box and small cases (the 25 gathered taps are
+    # whatever that case needs).
+    dx_i = x_right - x_left - 1
+    dy_i = y_bottom - y_top - 1
+    big = dx_i + dy_i > 2
+    cd_y = jnp.where(big, y_bottom - 1, y_bottom)
+    c_x = jnp.where(big, x_right + 1, x_right)
+    d_x = jnp.where(big, x_left + 1, x_left)
+
+    # Row coordinate set (5): box {y_top, y_top+1, cd_y, cd_y+1,
+    # y_bottom(+1 covers taps)} — we need I rows: y_top, y_top+1 (corner
+    # A/B + upper taps), y_bottom, y_bottom+1 (t5..t10), cd_y, cd_y+1
+    # (corner C/D images). cd_y is y_bottom or y_bottom-1; when
+    # y_bottom-1 == y_top+1 overlaps happen — 5 slots suffice:
+    rows_box = jnp.stack(
+        [y_top, y_top + 1, cd_y, y_bottom, y_bottom + 1], -1
+    )  # (K, P, 5)
+    rows_small = jnp.stack(
+        [y_i, y_i + 1, y_i + 2, y_i, y_i], -1
+    )
+    row_coords = jnp.where(small[..., None], rows_small, rows_box)
+
+    cols_box = jnp.stack(
+        [x_left, x_left + 1, jnp.minimum(d_x + 1, x_right),
+         x_right, x_right + 1], -1
+    )
+    cols_small = jnp.stack([x_i, x_i + 1, x_i + 2, x_i, x_i], -1)
+    col_coords = jnp.where(small[..., None], cols_small, cols_box)
+    # The C-corner image pixel needs I cols c_x, c_x+1 = x_right(+1), +2.
+    # Add c_x+1 by replacing a redundant slot: slot 2 duplicates d_x+1
+    # which for big is x_left+2... we need BOTH d_x+1 and c_x+1. Use a
+    # 6-wide col grid instead.
+    cols_box6 = jnp.stack(
+        [x_left, x_left + 1, d_x + 1, x_right, x_right + 1, c_x + 1], -1
+    )
+    cols_small6 = jnp.stack(
+        [x_i, x_i + 1, x_i + 2, x_i, x_i, x_i], -1
+    )
+    col_coords = jnp.where(small[..., None], cols_small6, cols_box6)
+
+    # Rows also need cd_y+1 for the C/D image pixels; make rows 6-wide.
+    rows_box6 = jnp.stack(
+        [y_top, y_top + 1, cd_y, cd_y + 1, y_bottom, y_bottom + 1], -1
+    )
+    rows_small6 = jnp.stack(
+        [y_i, y_i + 1, y_i + 2, y_i, y_i, y_i], -1
+    )
+    row_coords = jnp.where(small[..., None], rows_small6, rows_box6)
+
+    # ---- Patch anchors.
+    ax = jnp.clip(
+        _trunc_i32(key_x) - patch_w // 2, 0, max(cols_i - patch_w, 0)
+    )  # (K,)
+    ay = jnp.clip(
+        _trunc_i32(key_y) - patch_h // 2, 0, max(rows_i - patch_h, 0)
+    )
+
+    rel_rows = jnp.clip(row_coords - ay[:, None, None], 0, patch_h - 1)
+    rel_cols = jnp.clip(col_coords - ax[:, None, None], 0, patch_w - 1)
+
+    # ---- Chunked one-hot contraction.
+    pad_k = (-k) % chunk
+    n_chunks = (k + pad_k) // chunk
+
+    def pad0(a, value=0):
+        return jnp.pad(
+            a, [(0, pad_k)] + [(0, 0)] * (a.ndim - 1),
+            constant_values=value,
+        )
+
+    ax_p = pad0(ax)
+    ay_p = pad0(ay)
+    rr = pad0(rel_rows).reshape(n_chunks, chunk, p, 6)
+    rc = pad0(rel_cols).reshape(n_chunks, chunk, p, 6)
+    ax_c = ax_p.reshape(n_chunks, chunk)
+    ay_c = ay_p.reshape(n_chunks, chunk)
+
+    integral_f = integral  # int32; sliced per keypoint below
+
+    def do_chunk(args):
+        axk, ayk, rrk, rck = args  # (chunk,), (chunk,), (chunk,p,6), ...
+
+        def get_patch(a_x, a_y):
+            pat = jax.lax.dynamic_slice(
+                integral_f, (a_y, a_x), (patch_h, patch_w)
+            )
+            # Subtract the separable field I[ay, x] + I[y, ax] - I[ay, ax]:
+            # every tap group is a second difference (invariant), and the
+            # anchored values become patch-local rectangle sums
+            # < PH*PW*255 < 2^24, hence float32-exact.
+            anchored = pat - pat[0:1, :] - pat[:, 0:1] + pat[0, 0]
+            return anchored.astype(jnp.float32)
+
+        patches = jax.vmap(get_patch)(axk, ayk)  # (chunk, PH, PW) f32
+
+        # One-hots.
+        iota_h = jnp.arange(patch_h, dtype=jnp.int32)
+        iota_w = jnp.arange(patch_w, dtype=jnp.int32)
+        oh_r = (rrk[..., None] == iota_h).astype(jnp.float32)
+        # (chunk, p, 6, PH)
+        oh_c = (rck[..., None] == iota_w).astype(jnp.float32)
+        # (chunk, p, 6, PW)
+
+        rows = jax.lax.dot_general(
+            oh_r.reshape(chunk, p * 6, patch_h),
+            patches,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            # HIGHEST: TPU matmuls otherwise cast inputs to bfloat16 and
+            # truncate the integral values (8-bit mantissa).
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (chunk, p*6, PW)
+        rows = rows.reshape(chunk, p, 6, patch_w)
+        # taps[c, p, i, j] = sum_w rows[c, p, i, w] * oh_c[c, p, j, w]
+        taps = jnp.einsum(
+            "cpiw,cpjw->cpij", rows, oh_c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return taps  # (chunk, p, 6, 6) f32 — exact ints < 2^24
+
+    taps = jax.lax.map(do_chunk, (ax_c, ay_c, rr, rc))
+    taps = taps.reshape(n_chunks * chunk, p, 6, 6)[:k].astype(jnp.int32)
+
+    # ---- Reconstruct values. Integral tap grid indices:
+    # rows: 0=y_top 1=y_top+1 2=cd_y 3=cd_y+1 4=y_bottom 5=y_bottom+1
+    # cols: 0=x_left 1=x_left+1 2=d_x+1 3=x_right 4=x_right+1 5=c_x+1
+    def it(ri, ci):
+        return taps[..., ri, ci]
+
+    # Image pixels img[y, x] = I[y+1, x+1] - I[y, x+1] - I[y+1, x] + I[y, x].
+    img_a = it(1, 1) - it(0, 1) - it(1, 0) + it(0, 0)       # (y_top, x_left)
+    img_b = it(1, 4) - it(0, 4) - it(1, 3) + it(0, 3)       # (y_top, x_right)
+    # C at (cd_y, c_x): I rows cd_y..cd_y+1, cols c_x..c_x+1 = cols 4?,5.
+    # c_x is x_right+1 when big else x_right -> I col c_x = col 4 when big
+    # else col 3; c_x+1 = col 5 always.
+    c_col0 = jnp.where(big, it(3, 4), it(3, 3))
+    c_col0_top = jnp.where(big, it(2, 4), it(2, 3))
+    img_c = it(3, 5) - it(2, 5) - c_col0 + c_col0_top       # (cd_y, c_x)
+    # D at (cd_y, d_x): d_x = x_left+1 when big else x_left -> I col d_x =
+    # col 1 when big else 0; d_x+1 = col 2 always.
+    d_col0 = jnp.where(big, it(3, 1), it(3, 0))
+    d_col0_top = jnp.where(big, it(2, 1), it(2, 0))
+    img_d = it(3, 2) - it(2, 2) - d_col0 + d_col0_top       # (cd_y, d_x)
+
+    # Box-path weights (identical to the gather path).
+    r_x_1f = x_left.astype(jnp.float32) - x_1 + 0.5
+    r_y_1f = y_top.astype(jnp.float32) - y_1 + 0.5
+    r_x1f = x1 - x_right.astype(jnp.float32) + 0.5
+    r_y1f = y1 - y_bottom.astype(jnp.float32) + 0.5
+    scf = pat_scaling.astype(jnp.float32)
+    w_a = _trunc_i32(r_x_1f * r_y_1f * scf)
+    w_b = _trunc_i32(r_x1f * r_y_1f * scf)
+    w_c = _trunc_i32(r_x1f * r_y1f * scf)
+    w_d = _trunc_i32(r_x_1f * r_y1f * scf)
+    r_x_1_i = _trunc_i32(r_x_1f * scf)
+    r_y_1_i = _trunc_i32(r_y_1f * scf)
+    r_x1_i = _trunc_i32(r_x1f * scf)
+    r_y1_i = _trunc_i32(r_y1f * scf)
+
+    corners = w_a * img_a + w_b * img_b + w_c * img_c + w_d * img_d
+
+    t1 = it(0, 1)
+    t2 = it(0, 3)
+    t3 = it(1, 3)
+    t4 = it(1, 4)
+    t5 = it(4, 4)
+    t6 = it(4, 3)
+    t7 = it(5, 3)
+    t8 = it(5, 1)
+    t9 = it(4, 1)
+    t10 = it(4, 0)
+    t11 = it(1, 0)
+    t12 = it(1, 1)
+
+    upper = (t3 - t2 + t1 - t12) * r_y_1_i
+    middle = (t6 - t3 + t12 - t9) * pat_scaling
+    left = (t9 - t12 + t11 - t10) * r_x_1_i
+    right = (t5 - t4 + t3 - t6) * r_x1_i
+    bottom = (t7 - t6 + t9 - t8) * r_y1_i
+    total = corners + upper + middle + left + right + bottom
+    scaling2 = jnp.maximum(pat_scaling2, 1)
+    box = total // scaling2
+
+    # ---- Small-sigma bilinear: rows {y_i, y_i+1, y_i+2} = grid rows
+    # 0..2, cols {x_i, x_i+1, x_i+2} = grid cols 0..2 (small case).
+    s00 = it(1, 1) - it(0, 1) - it(1, 0) + it(0, 0)   # img[y_i, x_i]
+    s01 = it(1, 2) - it(0, 2) - it(1, 1) + it(0, 1)   # img[y_i, x_i+1]
+    s10 = it(2, 1) - it(1, 1) - it(2, 0) + it(1, 0)   # img[y_i+1, x_i]
+    s11 = it(2, 2) - it(1, 2) - it(2, 1) + it(1, 1)   # img[y_i+1, x_i+1]
+    r_x = _trunc_i32((xf - x_i.astype(jnp.float32)) * 1024)
+    r_y = _trunc_i32((yf - y_i.astype(jnp.float32)) * 1024)
+    r_x_1 = 1024 - r_x
+    r_y_1 = 1024 - r_y
+    small_val = (
+        r_x_1 * r_y_1 * s00 + r_x * r_y_1 * s01
+        + r_x * r_y * s11 + r_x_1 * r_y * s10
+    ) // 1024
+
+    return jnp.where(small, small_val, box)

@@ -103,39 +103,55 @@ class FramePipeline:
     feature: BriskFeature
     mesh: Mesh
 
-    def _detect_describe_batch(self, frames: jnp.ndarray):
-        kps, desc = jax.vmap(self.feature.detect_and_compute)(frames)
-        return kps, desc
-
     def step(self, frames: jnp.ndarray):
         """frames: (B, H, W) uint8, B divisible by the 'data' axis size.
 
         Returns (keypoints (B,...), descriptors (B, K, W) uint32,
         match_idx (B-1, K) int32, match_dist (B-1, K) int32).
+
+        The pattern tables are threaded in as runtime arguments (large jit
+        closure constants are ~2000x slower on TPU — DevicePattern docs).
         """
-        mesh = self.mesh
-        frames = jax.lax.with_sharding_constraint(
-            frames, NamedSharding(mesh, P("data", None, None))
+        return _pipeline_step(
+            self.feature.extractor.pattern, frames, self.feature, self.mesh
         )
-        kps, desc = self._detect_describe_batch(frames)
-        desc = jax.lax.with_sharding_constraint(
-            desc, NamedSharding(mesh, P("data", None, None))
-        )
-        # Frame-to-frame matching: query frame i vs train frame i-1.
-        q, t = desc[1:], desc[:-1]
-        qv, tv = kps.valid[1:], kps.valid[:-1]
-
-        def match_pair(qd, td, qvd, tvd):
-            d = hamming_distance_matrix(qd, td)
-            sentinel = 384 + 1
-            d = jnp.where(tvd[None, :], d, sentinel)
-            best = jnp.argmin(d, axis=1).astype(jnp.int32)
-            bd = jnp.min(d, axis=1)
-            bd = jnp.where(qvd, bd, sentinel)
-            return best, bd
-
-        midx, mdist = jax.vmap(match_pair)(q, t, qv, tv)
-        return kps, desc, midx, mdist
 
     def jit_step(self):
-        return jax.jit(self.step)
+        return self.step
+
+
+@partial(jax.jit, static_argnames=("feature", "mesh"))
+def _pipeline_step(pattern, frames, feature: BriskFeature, mesh: Mesh):
+    from ethzasl_brisk_tpu.describe.extractor import extract_descriptors
+
+    frames = jax.lax.with_sharding_constraint(
+        frames, NamedSharding(mesh, P("data", None, None))
+    )
+
+    def one(img):
+        kps = feature.detect(img)
+        return extract_descriptors(
+            pattern, img, kps,
+            rotation_invariant=feature.rotation_invariant,
+            scale_invariant=feature.scale_invariant,
+            sampler=feature.sampler,
+        )
+
+    kps, desc = jax.vmap(one)(frames)
+    desc = jax.lax.with_sharding_constraint(
+        desc, NamedSharding(mesh, P("data", None, None))
+    )
+    q, t = desc[1:], desc[:-1]
+    qv, tv = kps.valid[1:], kps.valid[:-1]
+
+    def match_pair(qd, td, qvd, tvd):
+        d = hamming_distance_matrix(qd, td)
+        sentinel = 384 + 1
+        d = jnp.where(tvd[None, :], d, sentinel)
+        best = jnp.argmin(d, axis=1).astype(jnp.int32)
+        bd = jnp.min(d, axis=1)
+        bd = jnp.where(qvd, bd, sentinel)
+        return best, bd
+
+    midx, mdist = jax.vmap(match_pair)(q, t, qv, tv)
+    return kps, desc, midx, mdist

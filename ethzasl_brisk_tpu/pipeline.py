@@ -42,6 +42,7 @@ class BriskFeature:
     max_candidates: int = 4096
     max_keypoints: int = 4096
     refine_dtype: str = "float32"
+    sampler: str = "gather"   # descriptor sampling backend ('patch' = MXU)
 
     def __post_init__(self):
         object.__setattr__(
@@ -64,6 +65,7 @@ class BriskFeature:
                 rotation_invariant=self.rotation_invariant,
                 scale_invariant=self.scale_invariant,
                 version=self.version,
+                sampler=self.sampler,
             ),
         )
 
@@ -91,12 +93,20 @@ class BriskFeature:
         return self._extractor(img, keypoints)
 
     @partial(jax.jit, static_argnames=("self",))
+    def _detect_jit(self, img: jnp.ndarray) -> KeyPoints:
+        return self.detect(img)
+
     def detect_and_compute(
         self, img: jnp.ndarray
     ) -> tuple[KeyPoints, jnp.ndarray]:
-        """Detect keypoints and compute descriptors on one uint8 image."""
-        kps = self.detect(img)
-        return self.compute(img, kps)
+        """Detect keypoints and compute descriptors on one uint8 image.
+
+        Two jit stages: detection (config static, no large constants) and
+        description (pattern tables threaded as runtime arguments — large
+        jit closure constants are ~2000x slower on TPU, see DevicePattern).
+        """
+        kps = self._detect_jit(img)
+        return self._extractor(img, kps)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,8 +154,11 @@ class BriskFeatureDetector:
         )
 
     @partial(jax.jit, static_argnames=("self",))
+    def _detect_jit(self, img: jnp.ndarray) -> KeyPoints:
+        return self.detect(img)
+
     def detect_and_compute(
         self, img: jnp.ndarray
     ) -> tuple[KeyPoints, jnp.ndarray]:
-        kps = self.detect(img)
+        kps = self._detect_jit(img)
         return self._extractor(img, kps)
