@@ -142,3 +142,62 @@ def read_set(path: str) -> list[GoldenEntry]:
             )
         )
     return entries
+
+
+class _Writer:
+    def __init__(self):
+        self.parts: list[bytes] = []
+
+    def u32(self, v: int):
+        self.parts.append(struct.pack("<I", v))
+
+    def i32(self, v: int):
+        self.parts.append(struct.pack("<i", v))
+
+    def f32(self, v: float):
+        self.parts.append(struct.pack("<f", v))
+
+    def string(self, s: str):
+        b = s.encode("latin-1")
+        self.u32(len(b))
+        self.parts.append(b)
+
+    def mat(self, arr: np.ndarray):
+        """Serialize a 2-D array in the reference cv-Mat layout."""
+        arr = np.atleast_2d(arr)
+        depth = {v: k for k, v in _CV_DEPTH_DTYPES.items()}[
+            np.dtype(arr.dtype).type
+        ]
+        self.i32(arr.shape[0])
+        self.i32(arr.shape[1])
+        self.i32(depth)  # single channel
+        self.i32(arr.dtype.itemsize)
+        self.parts.append(np.ascontiguousarray(arr).tobytes())
+
+
+def write_set(path: str, entries: list[GoldenEntry]) -> None:
+    """Write the reference's ``.set`` layout (serialization.h:50-131) —
+    lets this framework's outputs be byte-compared by the reference's own
+    verification harness."""
+    w = _Writer()
+    w.u32(len(entries))
+    for e in entries:
+        w.string(e.path)
+        w.mat(e.image)
+        w.u32(len(e.keypoints))
+        for k in e.keypoints:
+            w.f32(k.angle)
+            w.i32(k.class_id)
+            w.i32(k.octave)
+            w.f32(k.x)
+            w.f32(k.y)
+            w.f32(k.response)
+            w.f32(k.size)
+        w.mat(e.descriptors)
+        w.u32(len(e.userdata))
+        for name, blob in e.userdata.items():
+            w.string(name)
+            w.u32(len(blob))
+            w.parts.append(blob)
+    with open(path, "wb") as f:
+        f.write(b"".join(w.parts))

@@ -919,12 +919,19 @@ def detect_ast_keypoints(
     octaves: int = 3,
     max_candidates_per_layer: int = 2048,
     raw_cache_model: str = "emulated",
+    suppress_scale_nonmaxima: bool = True,
 ) -> KeyPoints:
     """Dense BRISK-AST detection. Returns fixed-capacity KeyPoints.
 
     Two passes: pass 1 estimates per-layer decisions with query-only
     cache emulation; pass 2 re-runs with the patch/cross-layer cache-fill
-    maps built from pass 1 (see is_max_2d)."""
+    maps built from pass 1 (see is_max_2d).
+
+    suppress_scale_nonmaxima=False mirrors the reference's non-suppressed
+    mode (brisk-scale-space.cc:133-170): per-layer 2-D maxima with
+    subpixel refinement only, no cross-layer checks. (The reference's loop
+    indexes agastPoints.at(0) for every layer — an evident upstream bug we
+    do not replicate; each layer processes its own candidates here.)"""
     layers = build_ast_pyramid(img, octaves, threshold)
     n_layers = len(layers)
     t58 = agast5_8_score_map(layers[0].img) if n_layers > 1 else None
@@ -941,6 +948,34 @@ def detect_ast_keypoints(
             < jnp.sum(layer.corner.astype(jnp.int32))
         )
         cand.append((xs, ys, valid))
+
+    if not suppress_scale_nonmaxima:
+        per_layer = []
+        for i in range(n_layers):
+            layer = layers[i]
+            xs, ys, valid = cand[i]
+            is2d = is_max_2d(layer, xs, ys, raw_model="emulated")
+            patch = _patch33(
+                lambda xg, yg, la=layer: _cache_score(la, xg, yg), xs, ys
+            )
+            dxl, dyl, mx = ast_subpixel2d(patch)
+            ls = f32(layer.scale)
+            lo = f32(layer.offset)
+            # Non-suppressed mode emits layer-local coords + scaled size
+            # (brisk-scale-space.cc:154-166: x = point + delta, no
+            # scale/offset mapping; size = kBasicSize * layer.scale).
+            per_layer.append(
+                KeyPoints(
+                    x=xs.astype(f32) + dxl,
+                    y=ys.astype(f32) + dyl,
+                    size=jnp.full_like(dxl, f32(K_BASIC_SIZE) * ls),
+                    angle=jnp.full_like(dxl, -1.0),
+                    response=mx.astype(f32),
+                    octave=jnp.zeros(dxl.shape, jnp.int32),
+                    valid=valid & is2d,
+                )
+            )
+        return KeyPoints.concatenate(per_layer)
 
     aux = [(None, None, None)] * n_layers
     if raw_cache_model == "emulated":

@@ -137,3 +137,51 @@ def match_with_ratio_and_crosscheck(
         & mutual
     )
     return best.astype(jnp.int32), matched
+
+
+@partial(jax.jit, static_argnames=("k", "n_bits"))
+def knn_match_masked(
+    query: jnp.ndarray,
+    train: jnp.ndarray,
+    query_valid: jnp.ndarray,
+    train_valid: jnp.ndarray,
+    mask: jnp.ndarray,      # (Q, T) bool — allowed pairs (cv mask semantics)
+    k: int = 2,
+    n_bits: int = 384,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """knnMatch with a pair mask (commonKnnMatchImpl mask support,
+    brute-force-matcher.cc:101-137)."""
+    sentinel = n_bits + 1
+    d = hamming_distance_matrix(query, train, n_bits)
+    d = jnp.where(mask & train_valid[None, :], d, sentinel)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    dist = jnp.where(query_valid[:, None], -neg_d, sentinel)
+    return idx, dist
+
+
+@partial(jax.jit, static_argnames=("max_matches", "n_bits"))
+def radius_match_all(
+    query: jnp.ndarray,
+    train: jnp.ndarray,
+    query_valid: jnp.ndarray,
+    train_valid: jnp.ndarray,
+    radius: int,
+    max_matches: int = 64,
+    n_bits: int = 384,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ALL matches with distance < radius per query, distance-sorted — the
+    reference's radiusMatch (commonRadiusMatchImpl,
+    brute-force-matcher.cc:164-214), with a static per-query capacity.
+
+    Returns (indices (Q, max_matches) i32, distances (Q, max_matches) i32,
+    counts (Q,) i32); empty slots carry distance n_bits+1.
+    """
+    sentinel = n_bits + 1
+    d = hamming_distance_matrix(query, train, n_bits)
+    d = jnp.where(train_valid[None, :], d, sentinel)
+    d = jnp.where(d < radius, d, sentinel)
+    neg_d, idx = jax.lax.top_k(-d, max_matches)
+    dist = -neg_d
+    dist = jnp.where(query_valid[:, None], dist, sentinel)
+    counts = jnp.sum(dist < sentinel, axis=1).astype(jnp.int32)
+    return idx.astype(jnp.int32), dist, counts

@@ -121,6 +121,7 @@ class BriskFeatureDetector:
 
     threshold: int = 70
     octaves: int = 3
+    suppress_scale_nonmaxima: bool = True
     rotation_invariant: bool = True
     scale_invariant: bool = True
     version: str = "v2"
@@ -151,6 +152,7 @@ class BriskFeatureDetector:
             threshold=self.threshold,
             octaves=self.octaves,
             max_candidates_per_layer=self.max_candidates_per_layer,
+            suppress_scale_nonmaxima=self.suppress_scale_nonmaxima,
         )
 
     @partial(jax.jit, static_argnames=("self",))
@@ -162,3 +164,37 @@ class BriskFeatureDetector:
     ) -> tuple[KeyPoints, jnp.ndarray]:
         kps = self._detect_jit(img)
         return self._extractor(img, kps)
+
+
+@dataclasses.dataclass(frozen=True)
+class HarrisFeatureDetector:
+    """Standalone single-scale Harris detector.
+
+    Mirrors ``brisk::HarrisFeatureDetector(threshold, radius, maxKpts)``
+    (``brisk/include/brisk/harris-feature-detector.h:54-80``): dense Harris
+    scores, 2-D non-max suppression and radial-LUT uniformity enforcement —
+    realized as the octaves=0 configuration of the generic dense scale-space
+    pipeline (same kernels, same greedy-uniformity semantics).
+    """
+
+    threshold: float = 0.0
+    uniformity_radius: float = 30.0
+    max_num_kpt: int = 2**31 - 1
+    max_candidates: int = 4096
+
+    def __post_init__(self):
+        object.__setattr__(
+            self,
+            "_feature",
+            BriskFeature(
+                octaves=0,
+                uniformity_radius=self.uniformity_radius,
+                absolute_threshold=self.threshold,
+                max_num_kpt=self.max_num_kpt,
+                max_candidates=self.max_candidates,
+                max_keypoints=self.max_candidates,
+            ),
+        )
+
+    def detect(self, img: jnp.ndarray) -> KeyPoints:
+        return self._feature._detect_jit(img)

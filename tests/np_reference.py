@@ -110,3 +110,46 @@ def harris_scores(img: np.ndarray) -> np.ndarray:
             t2 = (sxx + syy) >> 1
             scores[i, j] = sxx * syy - sxy * sxy - ((t2 * t2) >> 2)
     return scores.astype(np.int32)
+
+
+def harris_scores_f32(img):
+    """Scalar float Harris (HarrisScoreCalculatorFloat semantics)."""
+    img = img.astype(np.float32)
+    h, w = img.shape
+    gx = np.zeros((h, w), np.float32)
+    gy = np.zeros((h, w), np.float32)
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            gx[y, x] = (
+                10.0 * (img[y, x - 1] - img[y, x + 1])
+                + 3.0 * (img[y - 1, x - 1] - img[y - 1, x + 1])
+                + 3.0 * (img[y + 1, x - 1] - img[y + 1, x + 1])
+            ) / 16.0
+            gy[y, x] = (
+                10.0 * (img[y - 1, x] - img[y + 1, x])
+                + 3.0 * (img[y - 1, x - 1] - img[y + 1, x - 1])
+                + 3.0 * (img[y - 1, x + 1] - img[y + 1, x + 1])
+            ) / 16.0
+
+    def smooth(v):
+        out = np.zeros_like(v)
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                out[y, x] = (
+                    4 * v[y, x]
+                    + 2 * (v[y - 1, x] + v[y + 1, x] + v[y, x - 1]
+                           + v[y, x + 1])
+                    + v[y - 1, x - 1] + v[y - 1, x + 1]
+                    + v[y + 1, x - 1] + v[y + 1, x + 1]
+                ) / 16.0
+        return out
+
+    # zero-pad semantics of the dense kernel: borders contribute zeros
+    sxx = smooth(gx * gx)
+    syy = smooth(gy * gy)
+    sxy = smooth(gx * gy)
+    tr = sxx + syy
+    score = sxx * syy - sxy * sxy - tr * tr / 16.0
+    out = np.zeros((h, w), np.float32)
+    out[2 : h - 2, 2 : w - 2] = score[2 : h - 2, 2 : w - 2]
+    return out

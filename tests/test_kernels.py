@@ -161,3 +161,87 @@ class TestWarpSplit:
             )
         )
         np.testing.assert_array_equal(got_eq[exact], True)
+
+
+class TestGoldenRoundtrip:
+    def test_set_write_read(self, tmp_path):
+        from ethzasl_brisk_tpu.core.golden import (
+            GoldenEntry,
+            GoldenKeyPoint,
+            read_set,
+            write_set,
+        )
+
+        rng = np.random.default_rng(9)
+        e = GoldenEntry(
+            path="x.pgm",
+            image=rng.integers(0, 256, (8, 10), np.uint8).astype(np.uint8),
+            keypoints=[
+                GoldenKeyPoint(1.5, -1, 0, 3.25, 4.5, 100.0, 12.0),
+                GoldenKeyPoint(-1.0, -1, 2, 7.0, 2.0, 55.0, 24.0),
+            ],
+            descriptors=rng.integers(0, 256, (2, 48), np.uint8).astype(
+                np.uint8
+            ),
+            userdata={"blob": b"\x01\x02\x03"},
+        )
+        p = str(tmp_path / "t.set")
+        write_set(p, [e])
+        back = read_set(p)[0]
+        np.testing.assert_array_equal(back.image, e.image)
+        np.testing.assert_array_equal(back.descriptors, e.descriptors)
+        assert back.userdata == e.userdata
+        for a, b in zip(back.keypoints, e.keypoints):
+            assert (a.x, a.y, a.angle, a.size) == (b.x, b.y, b.angle, b.size)
+
+    def test_reference_set_roundtrip(self):
+        import pathlib
+
+        from ethzasl_brisk_tpu.core.golden import read_set, write_set
+
+        src = pathlib.Path(
+            "/root/reference/brisk/src/test/test_data/"
+            "brisk_verification_harris.set"
+        )
+        if not src.exists():
+            pytest.skip("no reference set")
+        import tempfile
+
+        entries = read_set(str(src))
+        with tempfile.NamedTemporaryFile(suffix=".set") as f:
+            write_set(f.name, entries)
+            data_out = open(f.name, "rb").read()
+        assert data_out == open(src, "rb").read()
+
+
+class TestV1Pattern:
+    def test_v1_extractor_runs(self):
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.core.keypoints import KeyPoints
+        from ethzasl_brisk_tpu.describe.extractor import BriskExtractor
+
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.integers(0, 256, (120, 160), np.uint8))
+        ext = BriskExtractor(version="v1")
+        # v1 ring pattern: 60 points, 512 short pairs -> 64-byte descriptor.
+        assert ext.pattern.n_points == 60
+        assert ext.descriptor_bytes == 64
+        kps = KeyPoints.from_numpy(
+            x=rng.uniform(40, 120, 16),
+            y=rng.uniform(40, 80, 16),
+        )
+        out, desc = ext(img, kps)
+        assert desc.shape == (16, 16)
+        assert int(out.valid.sum()) > 0
+        assert (np.asarray(desc)[np.asarray(out.valid)] != 0).any()
+
+
+class TestHarrisFloat:
+    def test_matches_scalar(self):
+        from ethzasl_brisk_tpu.kernels.harris import harris_score_f32
+
+        img = random_u8(20, 24)
+        got = np.asarray(harris_score_f32(img))
+        want = ref.harris_scores_f32(img)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-2)

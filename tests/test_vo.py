@@ -109,3 +109,66 @@ def test_vo_relative_pose():
     # f32 8-point + refit; tighter bounds come with GN refinement in ba/.
     assert rot_err < 1.0, rot_err
     assert t_dir_err < 8.0, t_dir_err
+
+
+@pytest.mark.slow
+def test_vo_sequence_integration():
+    """Multi-frame run_sequence on a synthetic camera track: integrated
+    trajectory stays close to ground truth (with ground-truth scale)."""
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.geometry import PinholeCamera
+    from ethzasl_brisk_tpu.pipeline import BriskFeature
+    from ethzasl_brisk_tpu.vo import VoConfig, VoFrontend
+
+    rng = np.random.default_rng(1)
+    from scipy import ndimage
+
+    texture = ndimage.gaussian_filter(rng.uniform(0, 255, (480, 640)), 2.0)
+    texture = (
+        (texture - texture.min()) / (np.ptp(texture) + 1e-9) * 255
+    ).astype(np.uint8)
+    cam = PinholeCamera.create(400.0, 400.0, 320.0, 240.0, 640, 480)
+
+    # 4-frame track: small forward+side motion with slight yaw.
+    n = 4
+    frames, r_gt, t_gt = [], [], []
+    for i in range(n):
+        a = 0.012 * i
+        r = np.array(
+            [
+                [np.cos(a), 0, np.sin(a)],
+                [0, 1, 0],
+                [-np.sin(a), 0, np.cos(a)],
+            ]
+        )
+        t = np.array([0.08 * i, 0.0, 0.04 * i])
+        frames.append(render_scene(texture, cam, r, t))
+        r_gt.append(r)
+        t_gt.append(t)
+
+    feature = BriskFeature(
+        octaves=2,
+        uniformity_radius=0.0,
+        absolute_threshold=40.0,
+        max_candidates=1024,
+        max_keypoints=1024,
+    )
+    vo = VoFrontend(camera=cam, feature=feature, config=VoConfig())
+    # Ground-truth step norms as the monocular scale prior.
+    norms = [
+        np.linalg.norm(
+            t_gt[i + 1] - (r_gt[i + 1] @ r_gt[i].T) @ t_gt[i]
+        )
+        for i in range(n - 1)
+    ]
+    poses = vo.run_sequence(frames, scale_norms=norms)
+    assert len(poses) == n
+    # Compare camera centers: pose = world-from-camera; gt center =
+    # -R^T t.
+    centers = np.stack([p[:3, 3] for p in poses])
+    gt_centers = np.stack([-(r.T @ t) for r, t in zip(r_gt, t_gt)])
+    err = np.linalg.norm(centers - gt_centers, axis=1)
+    # f32 8-point frame-to-frame drift; GN refinement (ba layer) tightens
+    # this in the full pipeline.
+    assert err.max() < 0.15, err
