@@ -97,3 +97,23 @@ def oast9_16_score_map(img: jnp.ndarray) -> jnp.ndarray:
 def agast5_8_score_map(img: jnp.ndarray) -> jnp.ndarray:
     """Dense t* map for AGAST 5/8 (int32; -1 on the 2-px border)."""
     return _score_map(img, AGAST_5_8_OFFSETS, 5, 2)
+
+
+AGAST_7_12S_OFFSETS = (
+    (-2, 0), (-2, -1), (-1, -2), (0, -2), (1, -2), (2, -1), (2, 0),
+    (2, 1), (1, 2), (0, 2), (-1, 2), (-2, 1),
+)  # agast7-12s.h:70-82 (square ring)
+AGAST_7_12D_OFFSETS = (
+    (-3, 0), (-2, -1), (-1, -2), (0, -3), (1, -2), (2, -1), (3, 0),
+    (2, 1), (1, 2), (0, 3), (-1, 2), (-2, 1),
+)  # agast7-12d.h:70-82 (diamond ring)
+
+
+def agast7_12s_score_map(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense t* map for AGAST 7/12s (int32; -1 on the 2-px border)."""
+    return _score_map(img, AGAST_7_12S_OFFSETS, 7, 2)
+
+
+def agast7_12d_score_map(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense t* map for AGAST 7/12d (int32; -1 on the 3-px border)."""
+    return _score_map(img, AGAST_7_12D_OFFSETS, 7, 3)

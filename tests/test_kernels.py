@@ -245,3 +245,72 @@ class TestHarrisFloat:
         got = np.asarray(harris_score_f32(img))
         want = ref.harris_scores_f32(img)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-2)
+
+
+class TestAgastVariants:
+    """7/12 variants + 16-bit integral (value-exactness of the 9/16 and
+    5/8 maps vs the compiled reference is established in tools/)."""
+
+    def test_712_shapes_and_selfconsistency(self):
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.kernels.agast import (
+            agast7_12d_score_map,
+            agast7_12s_score_map,
+        )
+
+        img = random_u8(32, 40)
+        s = np.asarray(agast7_12s_score_map(jnp.asarray(img)))
+        d = np.asarray(agast7_12d_score_map(jnp.asarray(img)))
+        assert s.shape == img.shape and d.shape == img.shape
+        # Flat image: no corners anywhere.
+        flat = np.asarray(
+            agast7_12s_score_map(jnp.full((20, 20), 7, jnp.uint8))
+        )
+        assert (flat[2:-2, 2:-2] <= 0).all()
+
+    def test_integral16(self):
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.kernels.integral import integral_image_16_f32
+
+        img = RNG.integers(0, 65536, (16, 20), np.uint16)
+        got = np.asarray(integral_image_16_f32(jnp.asarray(img)))
+        want = np.zeros((17, 21), np.float64)
+        want[1:, 1:] = np.cumsum(
+            np.cumsum(img.astype(np.float64) / 65536.0, 0), 1
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+class TestFilters:
+    def test_gauss_i16(self):
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.kernels.filters import filter_gauss_3x3_i16
+
+        img = RNG.integers(-1000, 1000, (12, 14)).astype(np.int16)
+        got = np.asarray(filter_gauss_3x3_i16(jnp.asarray(img)))
+        k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]])
+        want = np.zeros_like(img, np.int32)
+        for y in range(1, 11):
+            for x in range(1, 13):
+                want[y, x] = (
+                    (img[y - 1 : y + 2, x - 1 : x + 2].astype(np.int32) * k)
+                    .sum() >> 4
+                )
+        np.testing.assert_array_equal(got, want.astype(np.int16))
+
+    def test_filter2d_matches_scipy(self):
+        import jax.numpy as jnp
+        from scipy import ndimage
+
+        from ethzasl_brisk_tpu.kernels.filters import filter2d
+
+        img = RNG.normal(size=(15, 17)).astype(np.float32)
+        k = RNG.normal(size=(3, 5)).astype(np.float32)
+        got = np.asarray(filter2d(jnp.asarray(img), k))
+        want = ndimage.correlate(img, k, mode="constant")
+        want[:1] = 0; want[-1:] = 0; want[:, :2] = 0; want[:, -2:] = 0
+        np.testing.assert_allclose(got[1:-1, 2:-2], want[1:-1, 2:-2],
+                                   rtol=1e-4, atol=1e-4)
