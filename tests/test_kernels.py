@@ -314,3 +314,32 @@ class TestFilters:
         want[:1] = 0; want[-1:] = 0; want[:, :2] = 0; want[:, -2:] = 0
         np.testing.assert_allclose(got[1:-1, 2:-2], want[1:-1, 2:-2],
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestPopcount:
+    """test-popcount.cc equivalent: matcher distances vs scalar bit loop."""
+
+    def test_popcnt_xor_paths_agree(self):
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.match.matcher import (
+            hamming_distance_matrix,
+            hamming_distance_matrix_popcnt,
+        )
+
+        q = RNG.integers(0, 2**32, (20, 12), dtype=np.uint32)
+        t = RNG.integers(0, 2**32, (30, 12), dtype=np.uint32)
+        mxu = np.asarray(hamming_distance_matrix(jnp.asarray(q),
+                                                 jnp.asarray(t)))
+        pop = np.asarray(
+            hamming_distance_matrix_popcnt(jnp.asarray(q), jnp.asarray(t))
+        )
+        # Scalar reference: per-bit loop.
+        want = np.zeros((20, 30), np.int32)
+        qb = np.unpackbits(q.view(np.uint8), axis=1)
+        tb = np.unpackbits(t.view(np.uint8), axis=1)
+        for i in range(20):
+            for j in range(30):
+                want[i, j] = int((qb[i] != tb[j]).sum())
+        np.testing.assert_array_equal(pop, want)
+        np.testing.assert_array_equal(mxu, want)
