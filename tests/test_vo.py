@@ -172,3 +172,51 @@ def test_vo_sequence_integration():
     # f32 8-point frame-to-frame drift; GN refinement (ba layer) tightens
     # this in the full pipeline.
     assert err.max() < 0.15, err
+
+
+class TestEvaluate:
+    def test_ate_alignment(self):
+        from ethzasl_brisk_tpu.vo.evaluate import ate_rmse, rpe
+
+        rng = np.random.default_rng(0)
+        gt = np.cumsum(rng.normal(0, 0.1, (50, 3)), axis=0)
+        # Estimated = similarity-transformed gt + small noise.
+        ang = 0.3
+        r = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+        est = 0.5 * (gt @ r.T) + np.array([1.0, -2.0, 3.0])
+        est_noisy = est + rng.normal(0, 0.01, est.shape)
+        assert ate_rmse(est_noisy, gt, with_scale=True) < 0.06
+        assert ate_rmse(est, gt, with_scale=True) < 1e-6
+
+        poses = np.broadcast_to(np.eye(4), (10, 4, 4)).copy()
+        t_err, r_err = rpe(poses, poses)
+        assert t_err == 0.0 and r_err < 1e-4
+
+    def test_tum_kitti_parsers(self, tmp_path):
+        from ethzasl_brisk_tpu.vo.evaluate import (
+            load_kitti_trajectory,
+            load_tum_trajectory,
+            quat_to_rot,
+        )
+
+        tum = tmp_path / "gt.txt"
+        tum.write_text(
+            "# comment\n"
+            "1.0 0.1 0.2 0.3 0.0 0.0 0.0 1.0\n"
+            "2.0 0.4 0.5 0.6 0.0 0.0 0.7071068 0.7071068\n"
+        )
+        ts, pos, quat = load_tum_trajectory(str(tum))
+        assert ts.tolist() == [1.0, 2.0]
+        np.testing.assert_allclose(pos[1], [0.4, 0.5, 0.6])
+        r = quat_to_rot(quat)
+        np.testing.assert_allclose(r[0], np.eye(3), atol=1e-7)
+        # 90-deg z rotation.
+        np.testing.assert_allclose(
+            r[1], [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6
+        )
+
+        kitti = tmp_path / "poses.txt"
+        kitti.write_text("1 0 0 5 0 1 0 6 0 0 1 7\n")
+        p = load_kitti_trajectory(str(kitti))
+        np.testing.assert_allclose(p[0, :3, 3], [5, 6, 7])
