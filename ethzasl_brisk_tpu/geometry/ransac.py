@@ -265,3 +265,65 @@ def decompose_essential(e, r1, r2, valid):
     rs = jnp.stack([c[0] for c in cands])
     ts = jnp.stack([c[1] for c in cands])
     return rs[best], ts[best], counts[best]
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def refine_relative_pose(
+    r0: jnp.ndarray,        # (3, 3) initial rotation (p2 = R p1 + t)
+    t0: jnp.ndarray,        # (3,) initial unit translation
+    r1_pts: jnp.ndarray,    # (N, 2) normalized coords frame 1
+    r2_pts: jnp.ndarray,    # (N, 2) frame 2
+    weights: jnp.ndarray,   # (N,) 0/1 inlier weights
+    iterations: int = 10,
+    damping: float = 1e-6,
+):
+    """Gauss-Newton refinement of (R, t) on the Sampson error.
+
+    Tightens the f32 8-point estimate by 1-2 orders of magnitude (the
+    monocular scale stays fixed by renormalizing t each step). Returns
+    (R, t_unit, final_cost).
+    """
+    from ethzasl_brisk_tpu.ba.se3 import hat, so3_exp
+
+    dt = r1_pts.dtype
+    x1 = jnp.concatenate([r1_pts, jnp.ones_like(r1_pts[:, :1])], -1)
+    x2 = jnp.concatenate([r2_pts, jnp.ones_like(r2_pts[:, :1])], -1)
+
+    def residuals(params, r_base, t_base):
+        dr = so3_exp(params[:3][None])[0]
+        r = dr @ r_base
+        t = t_base + params[3:]
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-9)
+        e = hat(t[None])[0] @ r
+        ex1 = x1 @ e.T
+        etx2 = x2 @ e
+        num = jnp.sum(x2 * ex1, -1)
+        den = (
+            ex1[:, 0] ** 2 + ex1[:, 1] ** 2
+            + etx2[:, 0] ** 2 + etx2[:, 1] ** 2
+        )
+        return num / jnp.sqrt(jnp.maximum(den, 1e-12)) * weights
+
+    def step(_, state):
+        r_base, t_base, cost = state
+        zero = jnp.zeros((6,), dt)
+        res = residuals(zero, r_base, t_base)
+        jac = jax.jacfwd(residuals)(zero, r_base, t_base)  # (N, 6)
+        h = jac.T @ jac + damping * jnp.eye(6, dtype=dt)
+        g = jac.T @ res
+        delta = -jnp.linalg.solve(h, g)
+        dr = so3_exp(delta[:3][None])[0]
+        r_new = dr @ r_base
+        t_new = t_base + delta[3:]
+        t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), 1e-9)
+        new_cost = jnp.sum(residuals(zero, r_new, t_new) ** 2)
+        better = new_cost < cost
+        return (
+            jnp.where(better, r_new, r_base),
+            jnp.where(better, t_new, t_base),
+            jnp.where(better, new_cost, cost),
+        )
+
+    cost0 = jnp.sum(residuals(jnp.zeros((6,), dt), r0, t0) ** 2)
+    r, t, cost = jax.lax.fori_loop(0, iterations, step, (r0, t0, cost0))
+    return r, t, cost

@@ -31,6 +31,7 @@ from ethzasl_brisk_tpu.geometry.cameras import PinholeCamera
 from ethzasl_brisk_tpu.geometry.ransac import (
     decompose_essential,
     ransac_essential,
+    refine_relative_pose,
 )
 from ethzasl_brisk_tpu.match.matcher import match_with_ratio_and_crosscheck
 from ethzasl_brisk_tpu.pipeline import BriskFeature
@@ -44,6 +45,7 @@ class VoConfig:
     ransac_threshold: float = 2e-5   # Sampson, normalized coords
     ransac_hypotheses: int = 512
     min_inliers: int = 30
+    refine_iterations: int = 10      # GN Sampson refinement (0 = off)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +97,11 @@ class VoFrontend:
             n_hypotheses=cfg.ransac_hypotheses,
         )
         r, t, n_front = decompose_essential(e, ra, rb, inl)
+        if cfg.refine_iterations > 0:
+            r, t, _ = refine_relative_pose(
+                r, t, ra, rb, inl.astype(ra.dtype),
+                iterations=cfg.refine_iterations,
+            )
         ok = n_inl >= cfg.min_inliers
         return r, t, n_inl, ok, inl
 
