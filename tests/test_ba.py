@@ -223,3 +223,28 @@ class TestPoseGraph:
         np.testing.assert_allclose(
             np.asarray(out.t), t_gt, atol=1e-2
         )
+
+
+class TestMultiHost:
+    def test_two_process_distributed_ba(self, tmp_path):
+        """Config-5 slice: jax.distributed across two OS processes (the
+        DCN analog), landmark-sharded BA with cross-process psum."""
+        import subprocess
+        import sys
+
+        out = tmp_path / "mh.txt"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "tools/multihost_worker.py", str(i), "2",
+                 str(out)],
+                cwd="/root/repo",
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        codes = [p.wait(timeout=420) for p in procs]
+        logs = b"\n".join(p.stdout.read() for p in procs)
+        assert codes == [0, 0], logs.decode()[-2000:]
+        c0, c1 = (float(v) for v in out.read_text().split())
+        assert c0 > 100.0 and c1 < 1e-4, (c0, c1)
