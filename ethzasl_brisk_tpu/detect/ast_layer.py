@@ -24,10 +24,7 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from ethzasl_brisk_tpu.kernels.agast import (
-    agast5_8_score_map,
-    oast9_16_score_map,
-)
+from ethzasl_brisk_tpu.kernels.agast import oast9_16_score_map
 
 
 def _shift(x: jnp.ndarray, dy: int, dx: int, fill=0) -> jnp.ndarray:

@@ -24,7 +24,6 @@ subpixel/1-D fits.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax

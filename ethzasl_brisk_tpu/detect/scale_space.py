@@ -26,8 +26,7 @@ design:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

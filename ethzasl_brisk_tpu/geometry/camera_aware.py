@@ -17,11 +17,8 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ethzasl_brisk_tpu.core.keypoints import KeyPoints
 from ethzasl_brisk_tpu.geometry.cameras import PinholeCamera
 
 

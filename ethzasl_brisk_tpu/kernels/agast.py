@@ -25,7 +25,6 @@ Validated value-exact against the compiled reference decision trees.
 """
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 # (dx, dy) circle offsets, index order of the reference.

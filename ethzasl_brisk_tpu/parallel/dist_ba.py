@@ -15,7 +15,6 @@ its own shard (the natural layout when tracks are created shard-local).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ import numpy as np
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ethzasl_brisk_tpu.core.keypoints import KeyPoints
 from ethzasl_brisk_tpu.match.matcher import hamming_distance_matrix
 from ethzasl_brisk_tpu.pipeline import BriskFeature
 

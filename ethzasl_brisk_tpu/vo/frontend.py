@@ -20,7 +20,6 @@ Everything is jit-compiled with static shapes; per-frame state is a pair
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ keyframes); triangulation and the BA solve are batched device code.
 """
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 import jax
