@@ -220,3 +220,48 @@ class TestEvaluate:
         kitti.write_text("1 0 0 5 0 1 0 6 0 0 1 7\n")
         p = load_kitti_trajectory(str(kitti))
         np.testing.assert_allclose(p[0, :3, 3], [5, 6, 7])
+
+
+@pytest.mark.slow
+def test_sequence_eval_harness(tmp_path):
+    """Drive tools/sequence_eval.py end to end: synthetic frames written as
+    PGM + KITTI-format ground truth -> ATE printed and small."""
+    import subprocess
+    import sys
+
+    from ethzasl_brisk_tpu.core.image_io import write_pgm
+    from ethzasl_brisk_tpu.geometry import PinholeCamera
+
+    rng = np.random.default_rng(2)
+    from scipy import ndimage
+
+    tex = ndimage.gaussian_filter(rng.uniform(0, 255, (480, 640)), 2.0)
+    tex = ((tex - tex.min()) / (np.ptp(tex) + 1e-9) * 255).astype(np.uint8)
+    cam = PinholeCamera.create(400.0, 400.0, 320.0, 240.0, 640, 480)
+
+    gt_lines = []
+    for i in range(4):
+        a = 0.012 * i
+        r = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                      [-np.sin(a), 0, np.cos(a)]])
+        t = np.array([0.1 * i, 0.0, 0.03 * i])
+        frame = render_scene(tex, cam, r, t)
+        write_pgm(str(tmp_path / f"{i:06d}.pgm"), frame)
+        # KITTI: world-from-camera [R^T | -R^T t].
+        m = np.hstack([r.T, (-r.T @ t)[:, None]])
+        gt_lines.append(" ".join(f"{v:.9f}" for v in m.reshape(-1)))
+    (tmp_path / "poses.txt").write_text("\n".join(gt_lines) + "\n")
+
+    out = subprocess.run(
+        [sys.executable, "tools/sequence_eval.py", str(tmp_path),
+         "--gt", str(tmp_path / "poses.txt"), "--gt-format", "kitti",
+         "--fu", "400", "--fv", "400", "--cu", "320", "--cv", "240"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=400,
+        env={**__import__("os").environ, "JAX_PLATFORMS": ""},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ate_line = [l for l in out.stdout.splitlines() if "ATE RMSE" in l]
+    assert ate_line, out.stdout
+    ate = float(ate_line[0].split(":")[1])
+    # Monocular VO, sim-aligned: loose functional bound.
+    assert ate < 0.1, out.stdout
