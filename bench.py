@@ -54,14 +54,21 @@ def main() -> None:
     )
 
     with mesh:
+        # NOTE: on the tunneled backend, block_until_ready does NOT force
+        # execution (it defers to host readback). A device-side checksum
+        # chained across iterations + one final readback measures honestly:
+        # total = iters * compute + one RPC round trip.
         out = step(frames)
-        jax.block_until_ready(out)  # compile + warm-up
+        _ = float(jnp.sum(out[3]))  # compile + warm-up, forced readback
 
         t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.int32)
         for _ in range(iters):
             out = step(frames)
-        jax.block_until_ready(out)
+            acc = acc + jnp.sum(out[3])
+        checksum = int(np.asarray(acc))  # forces the whole chain
         dt = time.perf_counter() - t0
+        assert checksum != 0
 
     fps = batch * iters / dt
     print(
