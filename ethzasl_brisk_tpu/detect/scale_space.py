@@ -127,10 +127,14 @@ def warp_scores_split(
     s_lo = s & 0x7FFF       # in [0, 2^15)
 
     def bilerp(part):
-        p00 = part[v0[:, None], u0[None, :]]
-        p01 = part[v0[:, None], u0[None, :] + 1]
-        p10 = part[v0[:, None] + 1, u0[None, :]]
-        p11 = part[v0[:, None] + 1, u0[None, :] + 1]
+        # Axis-separable resample: two 1-D takes instead of a 2-D
+        # outer-product gather (the affine maps are monotone per axis).
+        rows0 = jnp.take(part, v0, axis=0)
+        rows1 = jnp.take(part, v0 + 1, axis=0)
+        p00 = jnp.take(rows0, u0, axis=1)
+        p01 = jnp.take(rows0, u0 + 1, axis=1)
+        p10 = jnp.take(rows1, u0, axis=1)
+        p11 = jnp.take(rows1, u0 + 1, axis=1)
         fu_ = fu[None, :]
         fv_ = fv[:, None]
         return (d - fv_) * ((d - fu_) * p00 + fu_ * p01) + fv_ * (
