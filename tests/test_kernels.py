@@ -343,3 +343,53 @@ class TestPopcount:
                 want[i, j] = int((qb[i] != tb[j]).sum())
         np.testing.assert_array_equal(pop, want)
         np.testing.assert_array_equal(mxu, want)
+
+
+class TestTimingRegistry:
+    def test_timer_and_report(self):
+        import time
+
+        from ethzasl_brisk_tpu.utils.timing import Timer, Timing, timer
+
+        Timing.reset()
+        with timer("unit/stage-a"):
+            time.sleep(0.01)
+        t = Timer("unit/stage-b")
+        time.sleep(0.005)
+        t.stop()
+        assert not t.is_timing()
+        a = Timing.get("unit/stage-a")
+        assert a is not None and a.total_samples == 1
+        assert a.rolling_mean >= 0.009
+        report = Timing.print_timing()
+        assert "unit/stage-a" in report and "unit/stage-b" in report
+        Timing.reset()
+        assert Timing.get("unit/stage-a") is None
+
+
+class TestKeyPointsHelpers:
+    def test_compact_and_topk(self):
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.core.keypoints import KeyPoints
+
+        kps = KeyPoints.from_numpy(
+            x=np.array([1.0, 2.0, 3.0, 4.0]),
+            y=np.array([5.0, 6.0, 7.0, 8.0]),
+            response=np.array([10.0, 40.0, 20.0, 30.0]),
+            capacity=6,
+        )
+        # Invalidate one entry, compact moves valid to front.
+        kps = kps.__class__(**{
+            **{f.name: getattr(kps, f.name)
+               for f in __import__("dataclasses").fields(kps)},
+            "valid": kps.valid.at[0].set(False),
+        })
+        c = kps.compact()
+        assert bool(c.valid[:3].all()) and not bool(c.valid[3:].any())
+
+        top2 = kps.top_k(2)
+        assert top2.capacity == 2
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(top2.response)), [30.0, 40.0]
+        )
