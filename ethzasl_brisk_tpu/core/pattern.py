@@ -185,6 +185,54 @@ def brisk_v2_pattern(pattern_scale: float = 1.0) -> BriskPattern:
 
 
 @functools.lru_cache(maxsize=4)
+def pattern_from_file(path: str, pattern_scale: float = 1.0) -> BriskPattern:
+    """Load a runtime ``.ptn`` pattern file.
+
+    Mirrors the reference's file ctor + ``InitFromStream``
+    (brisk-descriptor-extractor.cc:357-367, 180-291): whitespace-separated
+    tokens — point count, (x, y, sigma) per point (each multiplied by
+    ``patternScale`` on read), short-pair count + pairs, long-pair count +
+    pairs. Long-pair weights are computed from the *scaled* base points,
+    exactly as ``InitFromStream`` does.
+    """
+    with open(path) as f:
+        tok = iter(f.read().split())
+
+    def nxt() -> float:
+        return float(next(tok))
+
+    n = int(nxt())
+    ps = np.float32(pattern_scale)
+    pts = np.array(
+        [[nxt(), nxt(), nxt()] for _ in range(n)], dtype=np.float64
+    )
+    u_x = (pts[:, 0].astype(np.float32) * ps).astype(np.float32)
+    u_y = (pts[:, 1].astype(np.float32) * ps).astype(np.float32)
+    u_sigma = (pts[:, 2].astype(np.float32) * ps).astype(np.float32)
+
+    n_short = int(nxt())
+    short_pairs = np.array(
+        [[int(nxt()), int(nxt())] for _ in range(n_short)], dtype=np.int32
+    )
+    n_long = int(nxt())
+    long_pairs = np.array(
+        [[int(nxt()), int(nxt())] for _ in range(n_long)], dtype=np.int32
+    )
+
+    lut_x, lut_y, lut_sigma, scale_list, size_list = _expand(u_x, u_y, u_sigma)
+    return BriskPattern(
+        lut_x=lut_x,
+        lut_y=lut_y,
+        lut_sigma=lut_sigma,
+        scale_list=scale_list,
+        size_list=size_list,
+        short_pairs=short_pairs,
+        long_pairs=long_pairs,
+        long_weights=_long_pair_weights(u_x, u_y, long_pairs),
+    )
+
+
+@functools.lru_cache(maxsize=4)
 def brisk_v1_pattern(pattern_scale: float = 1.0) -> BriskPattern:
     """The legacy BRISK 1.0 ring pattern (generateKernel semantics).
 

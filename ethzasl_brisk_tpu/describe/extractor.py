@@ -104,11 +104,20 @@ def smoothed_intensity_u8(
     pat_sigma: jnp.ndarray,  # (K, P) f32
     pat_scaling: jnp.ndarray,   # (K, P) i32 (host-exact int(4194304/area))
     pat_scaling2: jnp.ndarray,  # (K, P) i32
+    *,
+    skip_small: bool = False,
 ) -> jnp.ndarray:
     """Reference-exact smoothed intensity for all (keypoint, point) pairs.
 
     Returns int32 (K, P) — value scale is pixel * 1024
     (SmoothedIntensity, brisk-descriptor-extractor.cc:370-530).
+
+    ``skip_small=True`` statically removes the bilinear small-sigma branch
+    (:391-408). It is dead for the default v2/v1 patterns at
+    pattern_scale >= 0.65: min lut_sigma = 1.3 * 1.0 * 0.6 * ps >= 0.5, so
+    the ``sigma_half < 0.5`` test never fires — skipping saves 4 of the 20
+    gathers per (keypoint, point) tap. The caller checks the host pattern
+    tables and only enables this when provably dead.
     """
     rows, cols = img.shape
     imgi = img.astype(jnp.int32)
@@ -128,20 +137,21 @@ def smoothed_intensity_u8(
         x = jnp.clip(x, 0, cols)
         return inti[y, x]
 
-    # ---- Small-sigma path: integer bilinear (:391-408).
-    x_i, y_i = jax.lax.optimization_barrier(
-        (_trunc_i32(xf), _trunc_i32(yf))
-    )
-    r_x = _trunc_i32((xf - x_i.astype(jnp.float32)) * 1024)
-    r_y = _trunc_i32((yf - y_i.astype(jnp.float32)) * 1024)
-    r_x_1 = 1024 - r_x
-    r_y_1 = 1024 - r_y
-    small = (
-        r_x_1 * r_y_1 * at_img(y_i, x_i)
-        + r_x * r_y_1 * at_img(y_i, x_i + 1)
-        + r_x * r_y * at_img(y_i + 1, x_i + 1)
-        + r_x_1 * r_y * at_img(y_i + 1, x_i)
-    ) // 1024
+    if not skip_small:
+        # ---- Small-sigma path: integer bilinear (:391-408).
+        x_i, y_i = jax.lax.optimization_barrier(
+            (_trunc_i32(xf), _trunc_i32(yf))
+        )
+        r_x = _trunc_i32((xf - x_i.astype(jnp.float32)) * 1024)
+        r_y = _trunc_i32((yf - y_i.astype(jnp.float32)) * 1024)
+        r_x_1 = 1024 - r_x
+        r_y_1 = 1024 - r_y
+        small = (
+            r_x_1 * r_y_1 * at_img(y_i, x_i)
+            + r_x * r_y_1 * at_img(y_i, x_i + 1)
+            + r_x * r_y * at_img(y_i + 1, x_i + 1)
+            + r_x_1 * r_y * at_img(y_i + 1, x_i)
+        ) // 1024
 
     # ---- Box path (:410-495): exact integral-image decomposition.
     # scaling/scaling2 are precomputed on host with exact C++ cast
@@ -220,6 +230,8 @@ def smoothed_intensity_u8(
 
     box = (corners + upper + middle + left + right + bottom) // scaling2
 
+    if skip_small:
+        return box
     return jnp.where(sigma_half < 0.5, small, box)
 
 
@@ -235,6 +247,9 @@ class BriskExtractor:
     scale_invariant: bool = True
     version: str = "v2"
     pattern_scale: float = 1.0
+    # Runtime .ptn pattern file (the reference's file ctor,
+    # brisk-descriptor-extractor.cc:357-367). Overrides `version`.
+    pattern_file: str | None = None
     # Sampling backend: 'gather' (per-tap gathers, any scale) or 'patch'
     # (one-hot patch contraction on the MXU — bit-identical, ~40x faster
     # on TPU, supports pattern extents up to ~(patch/2 - 2) px: with the
@@ -244,48 +259,38 @@ class BriskExtractor:
     patch_w: int = 192
 
     def __post_init__(self):
-        host = (
-            brisk_v2_pattern(self.pattern_scale)
-            if self.version == "v2"
-            else brisk_v1_pattern(self.pattern_scale)
-        )
+        if self.pattern_file is not None:
+            from ethzasl_brisk_tpu.core.pattern import pattern_from_file
+
+            host = pattern_from_file(self.pattern_file, self.pattern_scale)
+        else:
+            host = (
+                brisk_v2_pattern(self.pattern_scale)
+                if self.version == "v2"
+                else brisk_v1_pattern(self.pattern_scale)
+            )
         object.__setattr__(self, "_pattern", DevicePattern.from_host(host))
         object.__setattr__(self, "_host_pattern", host)
+        # Static dead-branch check: the bilinear small-sigma path only runs
+        # when some pattern sigma_half < 0.5 (never for the default tables).
+        object.__setattr__(
+            self, "_skip_small", bool(host.lut_sigma.min() >= 0.5)
+        )
 
     @property
     def pattern(self) -> DevicePattern:
         return self._pattern
 
     @property
+    def skip_small(self) -> bool:
+        return self._skip_small
+
+    @property
     def descriptor_bytes(self) -> int:
         return self._host_pattern.descriptor_bytes
 
-    def _scale_index(self, size):
-        return scale_index(size, self.scale_invariant)
-
     def _scale_index(self, size: jnp.ndarray) -> jnp.ndarray:
-        # doDescriptorComputation:629-649, float32 semantics.
-        log2 = np.float32(0.693147180559945)
-        lb_scalerange = np.float32(np.log(SCALERANGE) / log2)
-        basic_size06 = np.float32(BASIC_SIZE * 0.6)
-        if self.scale_invariant:
-            val = (
-                np.float32(SCALES) / lb_scalerange
-                * (jnp.log(size / basic_size06) / log2)
-                + 0.5
-            )
-            idx = jnp.maximum(_trunc_i32(val), 0)
-            return jnp.minimum(idx, SCALES - 1)
-        basic = max(
-            int(
-                np.float32(SCALES)
-                / lb_scalerange
-                * (np.log(np.float32(1.45 * BASIC_SIZE) / basic_size06) / log2)
-                + 0.5
-            ),
-            0,
-        )
-        return jnp.full_like(size, basic, dtype=jnp.int32)
+        return scale_index(size, self.scale_invariant)
 
     def __call__(
         self, img: jnp.ndarray, keypoints: KeyPoints
@@ -305,6 +310,7 @@ class BriskExtractor:
             sampler=self.sampler,
             patch_h=self.patch_h,
             patch_w=self.patch_w,
+            skip_small=self._skip_small,
         )
 
 
@@ -337,7 +343,7 @@ def scale_index(size: jnp.ndarray, scale_invariant: bool) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "rotation_invariant", "scale_invariant", "sampler", "patch_h",
-        "patch_w",
+        "patch_w", "skip_small",
     ),
 )
 def extract_descriptors(
@@ -350,6 +356,7 @@ def extract_descriptors(
     sampler: str = "gather",
     patch_h: int = 192,
     patch_w: int = 192,
+    skip_small: bool = False,
 ) -> tuple[KeyPoints, jnp.ndarray]:
     """BRISK description with the pattern as a runtime pytree argument."""
     rows, cols = img.shape
@@ -385,7 +392,7 @@ def extract_descriptors(
         def sample(px, py):
             return smoothed_intensity_u8(
                 img, integral, key_x, key_y, px, py, sigma,
-                scaling, scaling2,
+                scaling, scaling2, skip_small=skip_small,
             )
 
     # ---- Phase 1: orientation from unrotated samples + long pairs.

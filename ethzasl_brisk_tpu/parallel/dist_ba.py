@@ -18,7 +18,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ethzasl_brisk_tpu.ba.se3 import se3_exp
@@ -137,7 +137,7 @@ def solve_window_ba_sharded(
             P(), P(), P(), P(),
         ),
         out_specs=(P(), P(), P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     r, t, points, costs = fn(
         problem.r, problem.t, problem.points, problem.kf_idx,
@@ -175,25 +175,28 @@ def partition_problem(problem: BaProblem, n_shards: int) -> BaProblem:
     counts = np.bincount(obs_shard, minlength=n_shards)
     per_shard_obs = int(counts.max())
 
-    # Landmark g goes to shard g%S at local slot g//S.
+    # Landmark g goes to shard g%S at local slot g//S (vectorized scatter).
+    new_slot_of_lm = shard_of * per_shard_lm + local_of  # (lm_pad,)
     new_pts = np.zeros((lm_pad, 3), pts.dtype)
-    for g in range(n_lm):
-        new_pts[shard_of[g] * per_shard_lm + local_of[g]] = pts[g]
+    new_pts[new_slot_of_lm[:n_lm]] = pts
+
+    # Observation o of shard s lands at slot s*per_shard_obs + rank, where
+    # rank is o's position among its shard's observations in input order:
+    # stable-sort by shard, then rank = position within the sorted run.
+    order = np.argsort(obs_shard, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+    rank_sorted = np.arange(len(kf)) - np.repeat(starts, counts)
+    slots = obs_shard[order] * per_shard_obs + rank_sorted
 
     new_kf = np.zeros((n_shards * per_shard_obs,), kf.dtype)
     new_lm = np.zeros((n_shards * per_shard_obs,), lm.dtype)
     new_uv = np.zeros((n_shards * per_shard_obs, 2), uv.dtype)
     new_valid = np.zeros((n_shards * per_shard_obs,), bool)
-    fill = np.zeros(n_shards, np.int64)
-    for o in range(len(kf)):
-        s = obs_shard[o]
-        slot = s * per_shard_obs + fill[s]
-        fill[s] += 1
-        new_kf[slot] = kf[o]
-        # Global index in the re-laid-out points array.
-        new_lm[slot] = shard_of[lm[o]] * per_shard_lm + local_of[lm[o]]
-        new_uv[slot] = uv[o]
-        new_valid[slot] = valid[o]
+    new_kf[slots] = kf[order]
+    # Global index in the re-laid-out points array.
+    new_lm[slots] = new_slot_of_lm[lm[order]]
+    new_uv[slots] = uv[order]
+    new_valid[slots] = valid[order]
 
     import jax.numpy as jnp
 

@@ -25,7 +25,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ethzasl_brisk_tpu.match.matcher import hamming_distance_matrix
@@ -84,7 +84,7 @@ def sharded_knn_match(
         mesh=mesh,
         in_specs=(P(), P("model", None), P("model")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(query, train, train_valid)
 
@@ -134,6 +134,7 @@ def _pipeline_step(pattern, frames, feature: BriskFeature, mesh: Mesh):
             rotation_invariant=feature.rotation_invariant,
             scale_invariant=feature.scale_invariant,
             sampler=feature.sampler,
+            skip_small=feature.extractor.skip_small,
         )
 
     kps, desc = jax.vmap(one)(frames)

@@ -7,11 +7,14 @@ the last N samples with total/mean/min/max/variance and Hz, plus a
 ``print_timing()`` report. ``DebugTimer`` compiles away unless enabled
 (the reference's ``ENABLE_BRISK_TIMING`` switch, ``timer.h:182-186``).
 
-TPU-specific additions: timers can block on device results
-(``block=True`` calls ``jax.block_until_ready`` on a probe value so the
-measured span covers device execution, not just dispatch), and
-``annotate`` wraps ``jax.profiler.TraceAnnotation`` so tags line up with
-XLA traces. Stage tags follow the reference's taxonomy
+TPU-specific additions: timers can force device results before stopping
+(pass a probe array/pytree as ``block_on``). On the tunneled TPU backend
+``jax.block_until_ready`` does NOT force execution (it is deferred until a
+host readback), so the default forcing mode chains a device-side checksum
+reduction over the probe and reads back ONE scalar — the honest
+measurement recipe established by bench.py. ``annotate`` wraps
+``jax.profiler.TraceAnnotation`` so tags line up with XLA traces. Stage
+tags follow the reference's taxonomy
 ("0.x Detection ... / 1.x Extraction ...",
 ``scale-space-layer-inl.h:110,210,221,381``).
 """
@@ -102,17 +105,51 @@ class Timing:
         return report
 
 
+def force_device(probe) -> float:
+    """Force execution of everything `probe` depends on; return a checksum.
+
+    ``jax.block_until_ready`` is a no-op on the tunneled backend (execution
+    is deferred until host readback), so this chains a device-side reduction
+    over every array leaf of the pytree and reads back one scalar — the only
+    honest way to include device time in a host-side timer here.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    leaves = [
+        x for x in jax.tree_util.tree_leaves(probe)
+        if isinstance(x, jax.Array)
+    ]
+    if not leaves:
+        return 0.0
+    acc = jnp.zeros((), jnp.float32)
+    for x in leaves:
+        acc = acc + jnp.sum(x, dtype=jnp.float32)
+    return float(np.asarray(acc))  # single readback forces the whole chain
+
+
 @contextmanager
-def timer(tag: str, block_on=None):
-    """Context timer; pass a jax array as block_on to include device time."""
+def timer(tag: str, block_on=None, mode: str = "checksum"):
+    """Context timer; pass a jax array/pytree as ``block_on`` to include
+    device execution time.
+
+    mode='checksum' (default) forces execution via a device reduction +
+    single host readback (honest on the tunneled backend); mode='block'
+    uses ``jax.block_until_ready`` (dispatch-only there — phantom-prone,
+    kept for real local backends where it is cheaper).
+    """
     t0 = time.perf_counter()
     try:
         yield
     finally:
         if block_on is not None:
-            import jax
+            if mode == "checksum":
+                force_device(block_on)
+            else:
+                import jax
 
-            jax.block_until_ready(block_on)
+                jax.block_until_ready(block_on)
         Timing.add(tag, time.perf_counter() - t0)
 
 

@@ -48,10 +48,15 @@ def _align(got_xy, want_xy, tol=2e-3):
 
 @pytest.mark.parametrize("entry_idx", [0, 1])
 def test_harris_golden_parity(harris_golden, harris_feature, entry_idx):
+    import jax
     import jax.numpy as jnp
 
     e = harris_golden[entry_idx]
-    kps, desc = harris_feature.detect_and_compute(jnp.asarray(e.image))
+    # The golden run refines in float64 (Subpixel2D takes doubles);
+    # without x64 the refine_dtype="float64" request silently degrades
+    # to float32 and only the atol hides it.
+    with jax.enable_x64(True):
+        kps, desc = harris_feature.detect_and_compute(jnp.asarray(e.image))
     host = kps.to_numpy()
     got_xy = np.stack([host["x"], host["y"]], axis=1)
     got_desc = (

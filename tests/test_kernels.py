@@ -393,3 +393,59 @@ class TestKeyPointsHelpers:
         np.testing.assert_array_equal(
             np.sort(np.asarray(top2.response)), [30.0, 40.0]
         )
+
+
+class TestPatternFile:
+    def test_ptn_loader_matches_builtin(self):
+        """Runtime .ptn loading (brisk-descriptor-extractor.cc:357-367)
+        reproduces the built-in v2 tables exactly."""
+        import os
+
+        from ethzasl_brisk_tpu.core.pattern import (
+            brisk_v2_pattern,
+            pattern_from_file,
+        )
+
+        ptn = "/root/reference/brisk/brisk.ptn"
+        if not os.path.exists(ptn):
+            import pytest
+
+            pytest.skip("reference brisk.ptn not available")
+        ref = brisk_v2_pattern(1.0)
+        got = pattern_from_file(ptn, 1.0)
+        for f in (
+            "lut_x", "lut_y", "lut_sigma", "scale_list", "size_list",
+            "short_pairs", "long_pairs", "long_weights",
+        ):
+            np.testing.assert_array_equal(getattr(got, f), getattr(ref, f))
+
+
+class TestUniformity:
+    def test_blocked_equals_sequential_oracle(self):
+        """The blocked-interaction uniformity pass is bit-identical to the
+        direct transcription of the reference's greedy grid loop."""
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.detect.uniformity import (
+            enforce_uniformity,
+            enforce_uniformity_sequential,
+        )
+
+        rng = np.random.default_rng(42)
+        for k, radius in ((200, 30.0), (513, 15.0), (256, 45.0)):
+            n_valid = int(rng.integers(1, k + 1))
+            xs = rng.integers(0, 640, k).astype(np.int32)
+            ys = rng.integers(0, 480, k).astype(np.int32)
+            sc = np.sort(rng.integers(20, 100000, k))[::-1].astype(np.int32)
+            sc[n_valid:] = -(2**31)
+            valid = np.zeros(k, bool)
+            valid[:n_valid] = True
+            args = (
+                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(sc),
+                jnp.asarray(valid),
+            )
+            kw = dict(rows=480, cols=640, radius=radius,
+                      max_num_kpt=min(k, 300))
+            a = np.asarray(enforce_uniformity(*args, **kw))
+            b = np.asarray(enforce_uniformity_sequential(*args, **kw))
+            np.testing.assert_array_equal(a, b)

@@ -133,9 +133,44 @@ def run_harris():
     print("PARITY OK" if all_ok else "PARITY INCOMPLETE")
 
 
+def run_ast():
+    """AST-pipeline golden parity (test-binary-equal.cc:322-331:
+    BriskFeatureDetector(70) + default extractor)."""
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.pipeline import BriskFeatureDetector
+
+    entries = read_set(os.path.join(SET_DIR, "brisk_verification_ast.set"))
+    detector = BriskFeatureDetector(threshold=70, octaves=3)
+    all_ok = True
+    for e in entries:
+        kps, desc = detector.detect_and_compute(jnp.asarray(e.image))
+        m = np.asarray(kps.valid)
+        got_kp = np.stack(
+            [
+                np.asarray(kps.x)[m],
+                np.asarray(kps.y)[m],
+                np.asarray(kps.size)[m],
+                np.asarray(kps.angle)[m],
+                np.asarray(kps.response)[m],
+            ],
+            axis=1,
+        )
+        got_desc = np.asarray(desc)[m].view(np.uint8)
+        want = e.keypoint_array()
+        ok = compare_entry(
+            e.path, got_kp, got_desc, want[:, :5], e.descriptors,
+            xy_tol=5e-3,
+        )
+        all_ok &= bool(ok)
+    print("PARITY OK" if all_ok else "PARITY INCOMPLETE")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "harris"
     if which == "harris":
         run_harris()
+    elif which == "ast":
+        run_ast()
     else:
-        raise SystemExit("ast parity not wired yet")
+        raise SystemExit(f"unknown pipeline {which!r}; use harris|ast")
