@@ -1,20 +1,57 @@
 """End-to-end throughput benchmark: detect+describe+match at 640x480.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+Per-stage breakdown goes to stderr.
+
+Config: the reference-equivalent BRISK pipeline — octaves=2 pyramid,
+uniformity radius 30, absolute threshold 20 (test-binary-equal.cc:82-88
+golden params), candidate caps sized to cover every 2D maximum of the
+bench frames (8192/layer, measured ~6.4k on layer 0). Frames are 480x640
+crops of the reference's own test images (brisk/src/test/test_data) so
+detection sees natural-image statistics; falls back to smoothed noise if
+the reference data is unavailable.
 
 Baseline: the north-star target of 5000 frames/s/chip (BASELINE.json);
 the reference repo publishes no numbers of its own (SURVEY.md section 6).
+
+Timing: device-side checksum chained across iterations with ONE final
+host readback (block_until_ready does NOT force execution on the tunneled
+backend — NOTES.md).
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 TARGET_FPS = 5000.0
 H, W = 480, 640
+REF_DATA = "/root/reference/brisk/src/test/test_data"
+
+
+def bench_frames(batch: int) -> np.ndarray:
+    paths = [os.path.join(REF_DATA, f"img{i}.pgm") for i in (1, 2)]
+    if all(os.path.exists(p) for p in paths):
+        from ethzasl_brisk_tpu.core.image_io import read_pgm
+
+        crops = []
+        for p in paths:
+            im = np.asarray(read_pgm(p))
+            crops.append(im[:H, :W])
+            crops.append(im[im.shape[0] - H:, im.shape[1] - W:])
+        return np.stack(
+            [crops[i % len(crops)] for i in range(batch)]
+        )
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (batch, H, W)).astype(np.float32)
+    from scipy import ndimage
+
+    sm = ndimage.convolve(base, np.ones((1, 5, 5)) / 25.0, mode="nearest")
+    return np.clip(sm, 0, 255).astype(np.uint8)
 
 
 def main() -> None:
@@ -24,40 +61,27 @@ def main() -> None:
     from ethzasl_brisk_tpu.parallel import FramePipeline, make_mesh
     from ethzasl_brisk_tpu.pipeline import BriskFeature
 
-    batch = int(__import__("os").environ.get("BENCH_BATCH", "16"))
-    iters = int(__import__("os").environ.get("BENCH_ITERS", "20"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     feature = BriskFeature(
-        octaves=2,
-        uniformity_radius=0.0,
-        absolute_threshold=30.0,
-        max_candidates=512,
-        max_keypoints=512,
+        octaves=int(os.environ.get("BENCH_OCTAVES", "2")),
+        uniformity_radius=float(os.environ.get("BENCH_URADIUS", "30")),
+        absolute_threshold=float(os.environ.get("BENCH_THRESHOLD", "20")),
+        max_candidates=int(os.environ.get("BENCH_CANDS", "8192")),
+        max_keypoints=int(os.environ.get("BENCH_KPTS", "1024")),
         sampler="gather",
     )
     mesh = make_mesh(1, 1)
     pipe = FramePipeline(feature=feature, mesh=mesh)
-    # NOTE: pipe.step is internally jitted with the pattern tables as
-    # runtime args; wrapping it in another jit would re-capture them as
-    # closure constants (~2000x slower on TPU).
+    # NOTE: pipe.step threads the pattern tables as runtime args; wrapping
+    # it in another jit would re-capture them as closure constants
+    # (~2000x slower on TPU).
     step = pipe.step
 
-    rng = np.random.default_rng(7)
-    # Natural-image-like input: smoothed noise so detection does real work.
-    base = rng.integers(0, 256, (batch, H, W)).astype(np.float32)
-    k = np.ones((1, 5, 5)) / 25.0
-    from scipy import ndimage  # in the base image; gate if absent
-
-    frames_np = ndimage.convolve(base, k, mode="nearest")
-    frames = jnp.asarray(
-        np.clip(frames_np, 0, 255).astype(np.uint8)
-    )
+    frames = jnp.asarray(bench_frames(batch))
 
     with mesh:
-        # NOTE: on the tunneled backend, block_until_ready does NOT force
-        # execution (it defers to host readback). A device-side checksum
-        # chained across iterations + one final readback measures honestly:
-        # total = iters * compute + one RPC round trip.
         # Compile + warm-up with forced readback; two rounds because the
         # first post-compile execution through the tunnel can be 2-3x
         # slower than steady state.
@@ -75,10 +99,22 @@ def main() -> None:
         assert checksum != 0
 
     fps = batch * iters / dt
+    n_valid = np.asarray(jnp.sum(out[0].valid, axis=1))
+    print(
+        f"config: octaves={feature.octaves} uradius="
+        f"{feature.uniformity_radius} thr={feature.absolute_threshold} "
+        f"cands={feature.max_candidates} kpts={feature.max_keypoints} "
+        f"batch={batch} iters={iters}; keypoints/frame "
+        f"min={n_valid.min()} max={n_valid.max()}",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
-                "metric": "frames_per_s_per_chip_640x480_detect_describe_match",
+                "metric": (
+                    "frames_per_s_per_chip_640x480_detect_describe_match"
+                    "_uniformity30"
+                ),
                 "value": round(fps, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / TARGET_FPS, 4),

@@ -99,8 +99,14 @@ def _residual_and_jacobians(p: BaProblem):
     return res, j_pose, j_point, w
 
 
-def _gauss_newton_step(p: BaProblem, damping):
+def _gauss_newton_step(
+    p: BaProblem, damping, fix_poses: int = 1, huber_delta: float = 0.0
+):
     res, j_po, j_pt, w = _residual_and_jacobians(p)
+    if huber_delta > 0.0:
+        # IRLS Huber: downweight observations with ||res|| > delta.
+        rnorm = jnp.sqrt(jnp.sum(res * res, -1) + 1e-12)
+        w = w * jnp.minimum(1.0, huber_delta / rnorm)
     k = p.r.shape[0]
     n_lm = p.points.shape[0]
 
@@ -153,8 +159,10 @@ def _gauss_newton_step(p: BaProblem, damping):
     )  # (K, 6)
     rhs = rhs_pose.reshape(6 * k)
 
-    # Gauge fixing: freeze pose 0 (replace its rows/cols with identity).
-    fix = jnp.arange(6 * k) < 6
+    # Gauge fixing: freeze the first fix_poses poses (replace their
+    # rows/cols with identity). Monocular windows pass fix_poses=2 to
+    # anchor the scale gauge as well as the SE(3) gauge.
+    fix = jnp.arange(6 * k) < 6 * fix_poses
     s = jnp.where(fix[:, None] | fix[None, :], 0.0, s)
     s = s + jnp.diag(fix.astype(res.dtype))
     rhs = jnp.where(fix, 0.0, rhs)
@@ -178,16 +186,21 @@ def _gauss_newton_step(p: BaProblem, damping):
     ), cost
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(
+    jax.jit, static_argnames=("iterations", "fix_poses", "huber_delta")
+)
 def solve_window_ba(
-    problem: BaProblem, iterations: int = 10, damping: float = 1e-4
+    problem: BaProblem, iterations: int = 10, damping: float = 1e-4,
+    fix_poses: int = 1, huber_delta: float = 0.0,
 ):
     """Run fixed-iteration damped Gauss-Newton. Returns (problem, costs)."""
 
     def body(i, state):
         prob, costs = state
-        prob2, cost = _gauss_newton_step(prob, jnp.asarray(damping,
-                                                          prob.r.dtype))
+        prob2, cost = _gauss_newton_step(
+            prob, jnp.asarray(damping, prob.r.dtype), fix_poses,
+            huber_delta,
+        )
         return prob2, costs.at[i].set(cost)
 
     costs0 = jnp.zeros((iterations,), problem.r.dtype)

@@ -1,0 +1,286 @@
+"""KITTI/TUM odometry evaluation harness: VO + keyframing + window BA.
+
+The config-3/4 driver (BASELINE.json): full front-end (BRISK detect ->
+describe -> ratio/cross-check match -> essential RANSAC -> GN pose
+refinement), keyframe selection, sliding-window bundle adjustment over
+the keyframes, and ATE/RPE evaluation against ground truth.
+
+Usage:
+  python tools/kitti_eval.py <frames_dir> --gt poses.txt \
+      [--gt-format kitti|tum] [--fu F --fv F --cu C --cv C]
+      [--max-frames N] [--window W] [--kf-parallax PX] [--no-ba]
+      [--no-refine] [--json]
+
+  frames_dir: sorted .pgm or .png/.jpg grayscale frames (KITTI image_0).
+  Monocular scale is taken from the ground-truth step norms (standard
+  monocular-VO evaluation practice); alignment is similarity (Umeyama).
+
+Keyframing: a frame becomes a keyframe when its median inlier parallax
+w.r.t. the previous keyframe exceeds --kf-parallax px, or matching drops
+below --kf-min-inliers. Window BA: after every new keyframe, the last
+--window keyframes and their chained tracks are refined with the Schur
+Gauss-Newton solver (ba/window.py); the pose correction of the newest
+keyframe is propagated to the running trajectory.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def load_frames(frames_dir: str, max_frames: int) -> list[np.ndarray]:
+    d = pathlib.Path(frames_dir)
+    paths = sorted(
+        p for p in d.iterdir()
+        if p.suffix.lower() in (".pgm", ".png", ".jpg", ".jpeg")
+    )[:max_frames]
+    if len(paths) < 2:
+        raise SystemExit(f"need >=2 frames in {frames_dir}")
+    out = []
+    for p in paths:
+        if p.suffix.lower() == ".pgm":
+            from ethzasl_brisk_tpu.core.image_io import read_pgm
+
+            out.append(np.asarray(read_pgm(str(p))))
+        else:
+            from PIL import Image
+
+            out.append(np.asarray(Image.open(p).convert("L")))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("frames_dir")
+    ap.add_argument("--gt", default=None)
+    ap.add_argument("--gt-format", choices=["tum", "kitti"], default="kitti")
+    ap.add_argument("--fu", type=float, default=718.856)   # KITTI 00 cam0
+    ap.add_argument("--fv", type=float, default=718.856)
+    ap.add_argument("--cu", type=float, default=607.1928)
+    ap.add_argument("--cv", type=float, default=185.2157)
+    ap.add_argument("--max-frames", type=int, default=500)
+    ap.add_argument("--window", type=int, default=6)
+    ap.add_argument("--kf-parallax", type=float, default=12.0)
+    ap.add_argument("--kf-min-inliers", type=int, default=60)
+    ap.add_argument("--max-keypoints", type=int, default=1024)
+    ap.add_argument("--threshold", type=float, default=30.0)
+    ap.add_argument("--no-ba", action="store_true")
+    ap.add_argument("--ba-min-track-len", type=int, default=3)
+    ap.add_argument("--ba-huber", type=float, default=3.0,
+                    help="Huber delta in px (0 disables)")
+    ap.add_argument("--no-refine", action="store_true",
+                    help="disable GN relative-pose refinement")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    # The axon TPU plugin overrides JAX_PLATFORMS; honor an explicit
+    # cpu request via the config API (tunneled-TPU compiles are slow for
+    # this many distinct shapes).
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.ba.window import solve_window_ba
+    from ethzasl_brisk_tpu.geometry import PinholeCamera
+    from ethzasl_brisk_tpu.match.matcher import (
+        match_with_ratio_and_crosscheck,
+    )
+    from ethzasl_brisk_tpu.pipeline import BriskFeature
+    from ethzasl_brisk_tpu.vo import VoConfig, VoFrontend
+    from ethzasl_brisk_tpu.vo.evaluate import (
+        ate_rmse,
+        load_kitti_trajectory,
+        load_tum_trajectory,
+        rpe,
+    )
+    from ethzasl_brisk_tpu.vo.tracks import build_ba_problem
+
+    frames = load_frames(args.frames_dir, args.max_frames)
+    h, w = frames[0].shape
+    cam = PinholeCamera.create(args.fu, args.fv, args.cu, args.cv, w, h)
+    feature = BriskFeature(
+        octaves=2,
+        uniformity_radius=0.0,
+        absolute_threshold=args.threshold,
+        max_candidates=2048,
+        max_keypoints=args.max_keypoints,
+    )
+    vo = VoFrontend(
+        camera=cam,
+        feature=feature,
+        config=VoConfig(
+            refine_iterations=0 if args.no_refine else 10
+        ),
+    )
+
+    gt_poses = None
+    scale_norms = None
+    if args.gt:
+        loader = (
+            load_kitti_trajectory
+            if args.gt_format == "kitti"
+            else load_tum_trajectory
+        )
+        gt_poses = loader(args.gt)[: len(frames)]
+        gt_pos = np.stack([p[:3, 3] for p in gt_poses])
+        scale_norms = np.linalg.norm(np.diff(gt_pos, axis=0), axis=1)
+
+    # ---- Frame loop: integrate VO, select keyframes, window-BA. ----
+    key = jax.random.PRNGKey(0)
+    poses = [np.eye(4)]                 # world-from-camera per frame
+    kf = []                             # keyframe records
+    n_ba_runs = 0
+
+    def to_cfw(pose_wfc):
+        """world-from-camera 4x4 -> camera-from-world (R, t)."""
+        r = pose_wfc[:3, :3].T
+        t = -r @ pose_wfc[:3, 3]
+        return r, t
+
+    prev = None
+    for i, frame in enumerate(frames):
+        cur = vo.process_frame(jnp.asarray(frame))
+        if prev is not None:
+            key, sub = jax.random.split(key)
+            r, t, n_inl, ok, inl = vo.relative_pose(
+                sub, prev[0], prev[1], cur[0], cur[1]
+            )
+            r = np.asarray(r)
+            t = np.asarray(t)
+            s = 1.0 if scale_norms is None else float(scale_norms[i - 1])
+            t_ab = np.eye(4)
+            t_ab[:3, :3] = r.T
+            t_ab[:3, 3] = -r.T @ (t * s)
+            poses.append(poses[-1] @ t_ab if bool(ok) else poses[-1].copy())
+        prev = cur
+
+        # --- keyframe decision vs the last keyframe.
+        promote = not kf
+        pair_match = None
+        if kf:
+            key, sub = jax.random.split(key)
+            last = kf[-1]
+            # chain_tracks convention: current keypoint k matches the
+            # previous keyframe's best[k] (query=current, train=last).
+            best, matched = match_with_ratio_and_crosscheck(
+                cur[1], last["desc"], cur[0].valid, last["kp"].valid,
+                max_distance=vo.config.max_hamming,
+                ratio_num=vo.config.ratio_num,
+                ratio_den=vo.config.ratio_den,
+            )
+            m = np.asarray(matched)
+            b = np.asarray(best)
+            n_m = int(m.sum())
+            if n_m >= 8:
+                lx = np.asarray(last["kp"].x)
+                ly = np.asarray(last["kp"].y)
+                cx = np.asarray(cur[0].x)
+                cy = np.asarray(cur[0].y)
+                # parallax: current kpt k matches keyframe kpt b[k].
+                sel = np.nonzero(m)[0]
+                dx = lx[b[sel]] - cx[sel]
+                dy = ly[b[sel]] - cy[sel]
+                par = float(np.median(np.hypot(dx, dy)))
+            else:
+                par = np.inf
+            promote = (par > args.kf_parallax) or (
+                n_m < args.kf_min_inliers
+            )
+            if promote:
+                pair_match = (b, m)   # cur keypoint k <- last kf b[k]
+        if not promote:
+            continue
+
+        kf.append(
+            dict(
+                frame=i,
+                kp=cur[0],
+                desc=cur[1],
+                match_to_prev=pair_match,
+            )
+        )
+
+        # --- window BA over the last W keyframes.
+        if args.no_ba or len(kf) < 3:
+            continue
+        win = kf[-args.window:]
+        pair_matches = [
+            k["match_to_prev"] for k in win[1:]
+            if k["match_to_prev"] is not None
+        ]
+        if len(pair_matches) != len(win) - 1:
+            continue
+        win_frames = [k["frame"] for k in win]
+        win_poses = [to_cfw(poses[f]) for f in win_frames]
+        keypoint_xy = [
+            np.stack([np.asarray(k["kp"].x), np.asarray(k["kp"].y)], 1)
+            for k in win
+        ]
+        prob = build_ba_problem(
+            cam, win_poses, keypoint_xy, pair_matches,
+            max_landmarks=1024, max_observations=4096,
+            min_track_len=args.ba_min_track_len,
+        )
+        if int(np.asarray(prob.valid).sum()) < 30:
+            continue
+        # fix_poses=2: anchor the SE(3) gauge AND the monocular scale
+        # gauge on the window's first two (already-estimated) keyframes.
+        solved, costs = solve_window_ba(
+            prob, iterations=8, damping=1e-2, fix_poses=2,
+            huber_delta=args.ba_huber,
+        )
+        r_new = np.asarray(solved.r)
+        t_new = np.asarray(solved.t)
+        if not (np.isfinite(r_new).all() and np.isfinite(t_new).all()):
+            continue
+        n_ba_runs += 1
+
+        # Propagate: replace window keyframe poses, and apply the newest
+        # keyframe's correction to every frame after it.
+        old_last = poses[win_frames[-1]].copy()
+        for j, f in enumerate(win_frames):
+            m = np.eye(4)
+            m[:3, :3] = r_new[j].T
+            m[:3, 3] = -r_new[j].T @ t_new[j]
+            poses[f] = m
+        corr = poses[win_frames[-1]] @ np.linalg.inv(old_last)
+        for f in range(win_frames[-1] + 1, len(poses)):
+            poses[f] = corr @ poses[f]
+
+    positions = np.stack([p[:3, 3] for p in poses])
+    result = dict(
+        frames=len(frames),
+        keyframes=len(kf),
+        ba_runs=n_ba_runs,
+        path_length=float(
+            np.linalg.norm(np.diff(positions, axis=0), axis=1).sum()
+        ),
+    )
+    if gt_poses is not None:
+        gt_pos = np.stack([p[:3, 3] for p in gt_poses])[: len(positions)]
+        result["ate_rmse"] = float(ate_rmse(positions, gt_pos))
+        trans_err, rot_err = rpe(
+            np.stack(poses), np.stack(gt_poses)[: len(poses)], delta=1
+        )
+        result["rpe_trans_rmse"] = float(trans_err)
+        result["rpe_rot_rmse_deg"] = float(rot_err)
+
+    if args.json:
+        print(json.dumps(result))
+    else:
+        for k, v in result.items():
+            tag = {"ate_rmse": "ATE RMSE"}.get(k, k)
+            print(f"{tag}: {v}")
+
+
+if __name__ == "__main__":
+    main()
