@@ -46,6 +46,25 @@ def _trunc_i32(x):
     return jnp.trunc(x).astype(jnp.int32)
 
 
+def _dbl(x):
+    """Mirror a C++ *double* intermediate.
+
+    The reference mixes double literals into float expressions in specific
+    places (e.g. ``max /= 3072.0`` brisk-scale-space.cc:1140, the
+    ``/ 6.0`` scan coords :777, ``/ 18.0`` in Subpixel2D :1253) — those
+    sites compute in double and round to float once at the assignment.
+    Under x64 (the CPU parity path) this reproduces that; on TPU (x64
+    off) it degrades to f32, which only perturbs last-ulp refinement.
+    """
+    dt = jnp.float64 if jax.config.jax_enable_x64 else f32
+    return jnp.asarray(x).astype(dt)
+
+
+def _dbl_div(num_f32, denom):
+    """float(x) / <double literal> — double division, float result."""
+    return (_dbl(num_f32) / denom).astype(f32)
+
+
 def build_ast_pyramid(
     img: jnp.ndarray,
     octaves: int,
@@ -140,7 +159,8 @@ def ast_subpixel2d(s: jnp.ndarray):
     b_max_i = jnp.take_along_axis(corner_vals, ci[..., None], axis=-1)[..., 0]
     b_dx = corner_dx[ci]
     b_dy = corner_dy[ci]
-    b_val = (b_max_i + coeff1 + coeff2 + coeff6).astype(f32) / f32(18.0)
+    # C++: static_cast<float>(int sum) / 18.0 — double division (:1288).
+    b_val = _dbl_div((b_max_i + coeff1 + coeff2 + coeff6).astype(f32), 18.0)
 
     # Branch C: interior.
     safe_det = jnp.where(h_det == 0, 1, h_det).astype(f32)
@@ -173,10 +193,13 @@ def ast_subpixel2d(s: jnp.ndarray):
     delta_x2 = jnp.clip(delta_x2, -1.0, 1.0)
 
     def quad(dx, dy):
-        return (
+        # Numerator in float (C++ int*float products), / 18.0 in double
+        # (:1344-1348, :1360-1363).
+        return _dbl_div(
             c1f * dx * dx + c2f * dy * dy + c3f * dx + c4f * dy
-            + c5f * dx * dy + c6f
-        ) / f32(18.0)
+            + c5f * dx * dy + c6f,
+            18.0,
+        )
 
     max1 = quad(delta_x1, delta_y1)
     max2 = quad(delta_x2, delta_y2)
@@ -201,7 +224,7 @@ def ast_subpixel2d(s: jnp.ndarray):
     ).astype(f32)
     val = jnp.where(
         is_zero,
-        coeff6.astype(f32) / f32(18.0),
+        _dbl_div(coeff6.astype(f32), 18.0),
         jnp.where(is_corner, b_val, c_val),
     ).astype(f32)
     return delta_x, delta_y, val
@@ -210,12 +233,17 @@ def ast_subpixel2d(s: jnp.ndarray):
 # ---------------------------------------------------------------------------
 # Refine1D variants (brisk-scale-space.cc:1101-1228).
 # ---------------------------------------------------------------------------
-def _refine1d(s_05, s0, s05, coeffs, lo, hi, lo_scale, hi_scale, div):
+def _refine1d(
+    s_05, s0, s05, coeffs, lo, hi, lo_scale, hi_scale, div,
+    div_is_double=True,
+):
     """Shared 1-D parabola refinement. Returns (scale, max)."""
     (a0, a1, a2), (b0, b1, b2), (c0, c1, c2) = coeffs
-    i_05 = _trunc_i32(f32(1024.0) * s_05 + f32(0.5))
-    i0 = _trunc_i32(f32(1024.0) * s0 + f32(0.5))
-    i05 = _trunc_i32(f32(1024.0) * s05 + f32(0.5))
+    # C++ `int(1024.0 * s + 0.5)` is double arithmetic (:1103); in f32
+    # the +0.5 can round at the 25-bit boundary and shift the trunc.
+    i_05 = _trunc_i32(_dbl(s_05) * 1024.0 + 0.5)
+    i0 = _trunc_i32(_dbl(s0) * 1024.0 + 0.5)
+    i05 = _trunc_i32(_dbl(s05) * 1024.0 + 0.5)
 
     a = a0 * i_05 + a1 * i0 + a2 * i05
     b = b0 * i_05 + b1 * i0 + b2 * i05
@@ -237,9 +265,15 @@ def _refine1d(s_05, s0, s05, coeffs, lo, hi, lo_scale, hi_scale, div):
     safe_a = jnp.where(a == 0, 1, 2 * a).astype(f32)
     ret = -b.astype(f32) / safe_a
     ret = jnp.clip(ret, lo, hi)
-    mx = (
+    mx_num = (
         c.astype(f32) + a.astype(f32) * ret * ret + b.astype(f32) * ret
-    ) / f32(div)
+    )
+    if div_is_double:
+        # `max /= 3072.0` / `2048.0` are double divisions (:1140, :1184).
+        mx = _dbl_div(mx_num, div)
+    else:
+        # Refine1D_2's `max /= 1024` divides by an *int* → float (:1227).
+        mx = mx_num / f32(div)
 
     degenerate = a >= 0
     return (
@@ -271,7 +305,7 @@ def refine1d_2(s_05, s0, s05):
     return _refine1d(
         s_05, s0, s05,
         ((2, -4, 2), (-5, 8, -3), (3, -3, 1)),
-        0.7, 1.5, 0.7, 1.5, 1024.0,
+        0.7, 1.5, 0.7, 1.5, 1024.0, div_is_double=False,
     )
 
 
@@ -519,11 +553,15 @@ def _score_patch_max(
     xsf = xs.astype(f32)
     ysf = ys.astype(f32)
 
+    # Scan-window coords. Literal types per reference site: above-octave
+    # `/ 6.0` double (:777), above-intra `/ 8.0f` FLOAT (:783),
+    # below-octave `/ 6.0` double (:933), below-intra `/ 4.0` double
+    # (:940) — double sites round to float once, after the division.
     if mode == "above_octave":
-        x_1 = (f32(4.0) * xsf - 3) / f32(6.0)
-        x1 = (f32(4.0) * xsf + 1) / f32(6.0)
-        y_1 = (f32(4.0) * ysf - 3) / f32(6.0)
-        y1 = (f32(4.0) * ysf + 1) / f32(6.0)
+        x_1 = _dbl_div((4 * xs - 3).astype(f32), 6.0)
+        x1 = _dbl_div((4 * xs + 1).astype(f32), 6.0)
+        y_1 = _dbl_div((4 * ys - 3).astype(f32), 6.0)
+        y1 = _dbl_div((4 * ys + 1).astype(f32), 6.0)
         n_int = 1
         tie_break = False
     elif mode == "above_intra":
@@ -534,17 +572,17 @@ def _score_patch_max(
         n_int = 1
         tie_break = False
     elif mode == "below_octave":
-        x_1 = (f32(8.0) * xsf - 3) / f32(6.0)
-        x1 = (f32(8.0) * xsf + 5) / f32(6.0)
-        y_1 = (f32(8.0) * ysf - 3) / f32(6.0)
-        y1 = (f32(8.0) * ysf + 5) / f32(6.0)
+        x_1 = _dbl_div((8 * xs - 3).astype(f32), 6.0)
+        x1 = _dbl_div((8 * xs + 5).astype(f32), 6.0)
+        y_1 = _dbl_div((8 * ys - 3).astype(f32), 6.0)
+        y1 = _dbl_div((8 * ys + 5).astype(f32), 6.0)
         n_int = 2
         tie_break = True
     elif mode == "below_intra":
-        x_1 = (f32(6.0) * xsf - 2) / f32(4.0)
-        x1 = (f32(6.0) * xsf + 4) / f32(4.0)
-        y_1 = (f32(6.0) * ysf - 2) / f32(4.0)
-        y1 = (f32(6.0) * ysf + 4) / f32(4.0)
+        x_1 = _dbl_div((6 * xs - 2).astype(f32), 4.0)
+        x1 = _dbl_div((6 * xs + 4).astype(f32), 4.0)
+        y_1 = _dbl_div((6 * ys - 2).astype(f32), 4.0)
+        y1 = _dbl_div((6 * ys + 4).astype(f32), 4.0)
         n_int = 2
         tie_break = True
     else:
@@ -641,18 +679,23 @@ def _score_patch_max(
     real_x = mx.astype(f32) + dx1
     real_y = my.astype(f32) + dy1
 
+    # Back-conversion literal types: above-octave all-FLOAT `6.0f .. 4.0f`
+    # (:884), above-intra double `* 8.0 + 1.0) / 6.0` (:887), below-octave
+    # double (:1067), below-intra double (:1070). At the double sites the
+    # whole chain INCLUDING `- x_layer` is double (float promotes), with
+    # one round to float at the dx assignment.
     if mode == "above_octave":
         dx = (real_x * f32(6.0) + f32(1.0)) / f32(4.0) - xsf
         dy = (real_y * f32(6.0) + f32(1.0)) / f32(4.0) - ysf
     elif mode == "above_intra":
-        dx = (real_x * f32(8.0) + f32(1.0)) / f32(6.0) - xsf
-        dy = (real_y * f32(8.0) + f32(1.0)) / f32(6.0) - ysf
+        dx = ((_dbl(real_x) * 8.0 + 1.0) / 6.0 - _dbl(xsf)).astype(f32)
+        dy = ((_dbl(real_y) * 8.0 + 1.0) / 6.0 - _dbl(ysf)).astype(f32)
     elif mode == "below_octave":
-        dx = (real_x * f32(6.0) + f32(1.0)) / f32(8.0) - xsf
-        dy = (real_y * f32(6.0) + f32(1.0)) / f32(8.0) - ysf
+        dx = ((_dbl(real_x) * 6.0 + 1.0) / 8.0 - _dbl(xsf)).astype(f32)
+        dy = ((_dbl(real_y) * 6.0 + 1.0) / 8.0 - _dbl(ysf)).astype(f32)
     else:
-        dx = (real_x * f32(4.0) - f32(1.0)) / f32(6.0) - xsf
-        dy = (real_y * f32(4.0) - f32(1.0)) / f32(6.0) - ysf
+        dx = ((_dbl(real_x) * 4.0 - 1.0) / 6.0 - _dbl(xsf)).astype(f32)
+        dy = ((_dbl(real_y) * 4.0 - 1.0) / 6.0 - _dbl(ysf)).astype(f32)
 
     unrefined = (dx > 1.0) | (dx < -1.0) | (dy > 1.0) | (dy < -1.0)
     dx = jnp.clip(dx, -1.0, 1.0)
@@ -775,9 +818,11 @@ def refine3d(
         scale = jnp.where(no_refine, f32(1.0), r_scale)
         mx = jnp.where(no_refine, max_layer, r_max)
 
-        r0_up = f32(4.0) - scale * f32(3.0)
+        # C++ `4.0 - scale * 3.0` / `scale * 3.0 - 2.0` are double chains
+        # rounded once to float (:731, :739); f32 would round scale*3 too.
+        r0_up = (4.0 - _dbl(scale) * 3.0).astype(f32)
         r1_up = f32(1.0) - r0_up
-        r0_dn = scale * f32(3.0) - f32(2.0)
+        r0_dn = (_dbl(scale) * 3.0 - 2.0).astype(f32)
         r1_dn = f32(1.0) - r0_dn
         ls = f32(this.scale)
         lo = f32(this.offset)
@@ -797,14 +842,19 @@ def refine3d(
 # ---------------------------------------------------------------------------
 # Top-level detection (BriskFeatureDetector::detectImpl + GetKeypoints).
 # ---------------------------------------------------------------------------
-def _process_layer(layers, i, xs, ys, t58, e_query, e_patch, prefill):
+def _process_layer(
+    layers, i, xs, ys, t58, e_query, e_patch, prefill, is2d_override=None
+):
     """One layer's maxima pipeline. Returns (is2d, accepted, kp fields)."""
     layer = layers[i]
     n_layers = len(layers)
-    is2d = is_max_2d(
-        layer, xs, ys, raw_model="emulated",
-        e_query=e_query, e_patch=e_patch, prefill=prefill,
-    )
+    if is2d_override is not None:
+        is2d = is2d_override
+    else:
+        is2d = is_max_2d(
+            layer, xs, ys, raw_model="emulated",
+            e_query=e_query, e_patch=e_patch, prefill=prefill,
+        )
     ls = f32(layer.scale)
     lo = f32(layer.offset)
     ones = jnp.ones_like(is2d)
@@ -977,6 +1027,7 @@ def detect_ast_keypoints(
         return KeyPoints.concatenate(per_layer)
 
     aux = [(None, None, None)] * n_layers
+    exact_is2d: list = [None] * n_layers
     if raw_cache_model == "emulated":
         pass1 = []
         for i in range(n_layers):
@@ -992,12 +1043,68 @@ def detect_ast_keypoints(
                 )
             )
         aux = _aux_maps(layers, cand, pass1)
+    elif raw_cache_model == "exact":
+        # Sequential-exact cache emulation (ast_exact.py): per layer,
+        # exact IsMax2D via a candidate-order fori_loop over the stored
+        # map, with exact above-scan prefill stamps feeding the next
+        # layer. 3D gates (order-independent) feed the same-layer 3x3
+        # write condition.
+        from ethzasl_brisk_tpu.detect.ast_exact import (
+            above_scan_stamps,
+            exact_is2d_layer,
+            scatter_stamps,
+        )
+
+        prefill = jnp.zeros(layers[0].img.shape, bool)
+        for i in range(n_layers):
+            xs, ys, valid = cand[i]
+            center = layers[i].cache[ys, xs]
+            ones = jnp.ones_like(valid)
+            if n_layers == 1:
+                gate = ones
+            elif i == n_layers - 1:
+                mode_b = "below_octave" if i % 2 == 0 else "below_intra"
+                gate, _, _, _ = _score_patch_max(
+                    layers[i - 1], xs, ys, center, mode_b
+                )
+            else:
+                mode_a = "above_octave" if i % 2 == 0 else "above_intra"
+                ga, _, _, _ = _score_patch_max(
+                    layers[i + 1], xs, ys, center, mode_a
+                )
+                if i == 0:
+                    gb = ones  # layer-0 below-guess (5_8) never rejects
+                else:
+                    mode_b = (
+                        "below_octave" if i % 2 == 0 else "below_intra"
+                    )
+                    gb, _, _, _ = _score_patch_max(
+                        layers[i - 1], xs, ys, center, mode_b
+                    )
+                gate = ga & gb
+            is2d = exact_is2d_layer(
+                layers[i], xs, ys, valid, gate, prefill
+            )
+            exact_is2d[i] = is2d
+            if i + 1 < n_layers:
+                mode_a = "above_octave" if i % 2 == 0 else "above_intra"
+                ax_, ay_, stamp = above_scan_stamps(
+                    layers[i + 1], xs, ys, center, mode_a
+                )
+                prefill = scatter_stamps(
+                    layers[i + 1], ax_, ay_, stamp, valid & is2d
+                )
 
     per_layer = []
     for i in range(n_layers):
         xs, ys, valid = cand[i]
         e_q, e_p, pre = aux[i]
-        if raw_cache_model != "emulated":
+        if raw_cache_model == "exact":
+            _, accepted, fields, _, _ = _process_layer(
+                layers, i, xs, ys, t58, None, None, None,
+                is2d_override=exact_is2d[i],
+            )
+        elif raw_cache_model != "emulated":
             is2d = is_max_2d(layers[i], xs, ys, raw_model=raw_cache_model)
             _, accepted, fields, _, _ = _process_layer(
                 layers, i, xs, ys, t58, None, None, None

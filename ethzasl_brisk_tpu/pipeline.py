@@ -126,6 +126,11 @@ class BriskFeatureDetector:
     scale_invariant: bool = True
     version: str = "v2"
     max_candidates_per_layer: int = 2048
+    # Lazy-score-cache model for the IsMax2D tie path
+    # (brisk-scale-space.cc:482-530): "emulated" (vectorized two-pass
+    # approximation), "exact" (sequential fori_loop emulation,
+    # bit-exact), or "fresh" (no history).
+    raw_cache_model: str = "emulated"
 
     def __post_init__(self):
         object.__setattr__(
@@ -153,6 +158,7 @@ class BriskFeatureDetector:
             octaves=self.octaves,
             max_candidates_per_layer=self.max_candidates_per_layer,
             suppress_scale_nonmaxima=self.suppress_scale_nonmaxima,
+            raw_cache_model=self.raw_cache_model,
         )
 
     @partial(jax.jit, static_argnames=("self",))

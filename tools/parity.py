@@ -22,6 +22,10 @@ import jax
 # The axon plugin overrides JAX_PLATFORMS at import time; config.update wins.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: identical-code reruns skip the ~10 min
+# sequential-loop compile of the exact-cache model.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_parity")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 
@@ -72,6 +76,21 @@ def compare_entry(name, got_kp, got_desc, want_kp, want_desc, xy_tol=2e-3):
     resp_eq = g[:, 4] == w[:, 4]
     print(f"  max dxy: {dxy.max() if n else 0:.2e}; xy bit-eq: "
           f"{(dxy == 0).sum()}/{n}; response equal: {resp_eq.sum()}/{n}")
+    if n and not resp_eq.all():
+        bad = ~resp_eq
+        dr = np.abs(g[bad, 4] - w[bad, 4])
+        rel = dr / np.maximum(np.abs(w[bad, 4]), 1e-9)
+        sz_eq = g[:, 2] == w[:, 2]
+        print(
+            f"  resp diffs: max {dr.max():.6g} rel max {rel.max():.2e}; "
+            f"size bit-eq {sz_eq.sum()}/{n}; "
+            f"mismatch sizes {sorted(set(np.round(w[bad, 2], 2)))[:8]}"
+        )
+        for i in np.flatnonzero(bad)[:4]:
+            print(
+                f"    resp#{i}: got {g[i, 4]!r} want {w[i, 4]!r} "
+                f"size {g[i, 2]:.4f}/{w[i, 2]:.4f} xy {g[i, :2]}"
+            )
     dang = np.abs(g[:, 3] - w[:, 3])
     dang = np.minimum(dang, 360 - dang)
     print(f"  angle: bit-eq {(g[:, 3] == w[:, 3]).sum()}/{n}; "
@@ -133,15 +152,21 @@ def run_harris():
     print("PARITY OK" if all_ok else "PARITY INCOMPLETE")
 
 
-def run_ast():
+def run_ast(raw_cache_model="exact"):
     """AST-pipeline golden parity (test-binary-equal.cc:322-331:
     BriskFeatureDetector(70) + default extractor)."""
     import jax.numpy as jnp
 
+    # x64 stays ON: the reference's refinement mixes float operands with
+    # double literals (brisk-scale-space.cc:1103 `1024.0 * s_05 + 0.5`),
+    # so the C++ arithmetic is double; weak-literal x64 promotion matches.
+
     from ethzasl_brisk_tpu.pipeline import BriskFeatureDetector
 
     entries = read_set(os.path.join(SET_DIR, "brisk_verification_ast.set"))
-    detector = BriskFeatureDetector(threshold=70, octaves=3)
+    detector = BriskFeatureDetector(
+        threshold=70, octaves=3, raw_cache_model=raw_cache_model
+    )
     all_ok = True
     for e in entries:
         kps, desc = detector.detect_and_compute(jnp.asarray(e.image))
@@ -171,6 +196,6 @@ if __name__ == "__main__":
     if which == "harris":
         run_harris()
     elif which == "ast":
-        run_ast()
+        run_ast(sys.argv[2] if len(sys.argv) > 2 else "exact")
     else:
         raise SystemExit(f"unknown pipeline {which!r}; use harris|ast")
