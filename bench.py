@@ -70,7 +70,13 @@ def main() -> None:
         absolute_threshold=float(os.environ.get("BENCH_THRESHOLD", "20")),
         max_candidates=int(os.environ.get("BENCH_CANDS", "8192")),
         max_keypoints=int(os.environ.get("BENCH_KPTS", "1024")),
-        sampler="gather",
+        # MXU one-hot patch contraction: bit-identical to the gather
+        # sampler (tests/test_fast_sampler.py) and ~5x faster at bench
+        # keypoint counts; 128px patches cover every scale the octaves=2
+        # detector emits (max size ~54 -> extent ~56 <= 128/2 - 2 + 2).
+        sampler=os.environ.get("BENCH_SAMPLER", "patch"),
+        patch_h=128,
+        patch_w=128,
     )
     mesh = make_mesh(1, 1)
     pipe = FramePipeline(feature=feature, mesh=mesh)

@@ -106,6 +106,8 @@ def smoothed_intensity_u8(
     pat_scaling2: jnp.ndarray,  # (K, P) i32
     *,
     skip_small: bool = False,
+    row_base: jnp.ndarray | None = None,  # (K,) i32 stacked-frame row shift
+    frame_rows: int | None = None,        # frame-local image height
 ) -> jnp.ndarray:
     """Reference-exact smoothed intensity for all (keypoint, point) pairs.
 
@@ -118,8 +120,14 @@ def smoothed_intensity_u8(
     the ``sigma_half < 0.5`` test never fires — skipping saves 4 of the 20
     gathers per (keypoint, point) tap. The caller checks the host pattern
     tables and only enables this when provably dead.
+
+    ``row_base`` (stacked-frame batch layout) shifts the INTEGER gather
+    rows only; key_y and all fixed-point math stay frame-local so results
+    are bit-identical to the per-frame path. Rows are clipped to the
+    frame-local bounds (``frame_rows``) before the shift.
     """
-    rows, cols = img.shape
+    cols = img.shape[1]
+    rows = img.shape[0] if frame_rows is None else frame_rows
     imgi = img.astype(jnp.int32)
     inti = integral  # (rows+1, cols+1) int32
 
@@ -127,13 +135,16 @@ def smoothed_intensity_u8(
     yf = pat_y + key_y[:, None]
     sigma_half = pat_sigma
 
+    def shift(y):
+        return y if row_base is None else y + row_base[:, None]
+
     def at_img(y, x):
-        y = jnp.clip(y, 0, rows - 1)
+        y = shift(jnp.clip(y, 0, rows - 1))
         x = jnp.clip(x, 0, cols - 1)
         return imgi[y, x]
 
     def at_int(y, x):
-        y = jnp.clip(y, 0, rows)
+        y = shift(jnp.clip(y, 0, rows))
         x = jnp.clip(x, 0, cols)
         return inti[y, x]
 
@@ -361,7 +372,93 @@ def extract_descriptors(
     """BRISK description with the pattern as a runtime pytree argument."""
     rows, cols = img.shape
     integral = jax.lax.optimization_barrier(integral_image_i32(img))
+    return _describe_core(
+        pat, img, integral, rows, cols, keypoints,
+        row_base=None,
+        rotation_invariant=rotation_invariant,
+        scale_invariant=scale_invariant,
+        sampler=sampler, patch_h=patch_h, patch_w=patch_w,
+        skip_small=skip_small,
+    )
 
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "rotation_invariant", "scale_invariant", "sampler", "patch_h",
+        "patch_w", "skip_small",
+    ),
+)
+def extract_descriptors_batch(
+    pat: DevicePattern,
+    imgs: jnp.ndarray,        # (B, H, W) uint8
+    keypoints: KeyPoints,     # batched (B, K) fields
+    *,
+    rotation_invariant: bool = True,
+    scale_invariant: bool = True,
+    sampler: str = "gather",
+    patch_h: int = 192,
+    patch_w: int = 192,
+    skip_small: bool = False,
+) -> tuple[KeyPoints, jnp.ndarray]:
+    """Batched description as ONE flat call (no per-frame vmap).
+
+    Stacks the per-frame images/integrals along rows (one padding row per
+    frame so image and integral share the (H+1) row stride) and shifts
+    each keypoint's sampling rows by an INTEGER ``row_base = frame*(H+1)``
+    applied only to integer gather/anchor coordinates — all fractional
+    fixed-point math stays frame-local, so every tap weight is
+    bit-identical to the per-frame path. (Adding the offset to the f32
+    keypoint y instead rounds away fractional bits once the stacked
+    coordinate exceeds ~2^11 — measured last-ULP angle drift even at
+    frame 0 via arctan2 shape-dependence.) Patch anchors are clamped
+    inside each frame so patches never straddle frames. Flat keypoint
+    axes let the patch sampler's chunked MXU contraction
+    (fast_sampler.py) run at full efficiency — per-frame vmap of dynamic
+    slices serializes instead.
+    """
+    b, h, w = imgs.shape
+    k = keypoints.x.shape[-1]
+    integral = jax.vmap(integral_image_i32)(imgs)  # (B, H+1, W+1)
+    int_flat = integral.reshape(b * (h + 1), w + 1)
+    img_pad = jnp.concatenate(
+        [imgs, jnp.zeros((b, 1, w), imgs.dtype)], axis=1
+    ).reshape(b * (h + 1), w)
+    row_base = jnp.repeat(jnp.arange(b, dtype=jnp.int32) * (h + 1), k)
+
+    flat_kp = jax.tree_util.tree_map(
+        lambda a: a.reshape((b * k,) + a.shape[2:]), keypoints
+    )
+    out_kp, desc = _describe_core(
+        pat, img_pad, int_flat, h, w, flat_kp,
+        row_base=row_base,
+        rotation_invariant=rotation_invariant,
+        scale_invariant=scale_invariant,
+        sampler=sampler, patch_h=patch_h, patch_w=patch_w,
+        skip_small=skip_small,
+    )
+    out_kp = jax.tree_util.tree_map(
+        lambda a: a.reshape((b, k) + a.shape[1:]), out_kp
+    )
+    return out_kp, desc.reshape(b, k, -1)
+
+
+def _describe_core(
+    pat: DevicePattern,
+    img: jnp.ndarray,
+    integral: jnp.ndarray,
+    rows: int,
+    cols: int,
+    keypoints: KeyPoints,
+    *,
+    row_base,
+    rotation_invariant: bool,
+    scale_invariant: bool,
+    sampler: str,
+    patch_h: int,
+    patch_w: int,
+    skip_small: bool,
+) -> tuple[KeyPoints, jnp.ndarray]:
     scale_idx = scale_index(keypoints.size, scale_invariant)  # (K,)
     border = pat.size_list[scale_idx]  # (K,) i32
     bf = border.astype(jnp.float32)
@@ -373,10 +470,17 @@ def extract_descriptors(
     )
     valid = keypoints.valid & inside
 
+    # key_x/key_y stay FRAME-LOCAL; the stacked-frame layout enters only
+    # through the integer ``row_base`` the samplers add to their integer
+    # gather/anchor rows (never to the f32 coordinates, which would round
+    # away fractional bits — extract_descriptors_batch docs).
     key_x, key_y = keypoints.x, keypoints.y
     sigma = pat.lut_sigma[scale_idx]
     scaling = pat.lut_scaling[scale_idx]
     scaling2 = pat.lut_scaling2[scale_idx]
+    if row_base is not None:
+        # Patches/gathers must stay inside one frame's (rows+1)-row block.
+        assert patch_h <= rows + 1, (patch_h, rows)
 
     if sampler == "patch":
         from ethzasl_brisk_tpu.describe.fast_sampler import (
@@ -387,12 +491,14 @@ def extract_descriptors(
             return smoothed_intensity_patch(
                 img, integral, key_x, key_y, px, py, sigma,
                 scaling, scaling2, patch_h=patch_h, patch_w=patch_w,
+                row_base=row_base, frame_rows=rows,
             )
     else:
         def sample(px, py):
             return smoothed_intensity_u8(
                 img, integral, key_x, key_y, px, py, sigma,
                 scaling, scaling2, skip_small=skip_small,
+                row_base=row_base, frame_rows=rows,
             )
 
     # ---- Phase 1: orientation from unrotated samples + long pairs.

@@ -59,9 +59,22 @@ def smoothed_intensity_patch(
     patch_h: int = 128,
     patch_w: int = 192,
     chunk: int = 64,
+    row_base: jnp.ndarray | None = None,  # (K,) i32 stacked-frame row shift
+    frame_rows: int | None = None,        # frame-local image height
 ) -> jnp.ndarray:
-    """Reference-exact smoothed intensities, (K, P) int32."""
+    """Reference-exact smoothed intensities, (K, P) int32.
+
+    ``row_base``/``frame_rows`` support the stacked-frame batch layout
+    (extractor.extract_descriptors_batch): key_y and ALL tap coordinates
+    stay frame-local; only the patch's dynamic-slice row anchor is
+    shifted by ``row_base``. The anchor is clamped inside the frame's
+    (frame_rows+1)-row integral block, so each patch is one frame's
+    rectangle (base-subtracted values stay < 2^24, hence float32-exact),
+    and fractional weights are bit-identical to the per-frame path.
+    """
     rows_i, cols_i = integral.shape
+    if frame_rows is not None:
+        rows_i = frame_rows + 1  # frame-local integral rows
     k, p = pat_x.shape
 
     xf = pat_x + key_x[:, None]
@@ -150,12 +163,15 @@ def smoothed_intensity_patch(
     ax = jnp.clip(
         _trunc_i32(key_x) - patch_w // 2, 0, max(cols_i - patch_w, 0)
     )  # (K,)
+    # Frame-local anchor (rows_i is the per-frame integral height here).
     ay = jnp.clip(
         _trunc_i32(key_y) - patch_h // 2, 0, max(rows_i - patch_h, 0)
     )
 
     rel_rows = jnp.clip(row_coords - ay[:, None, None], 0, patch_h - 1)
     rel_cols = jnp.clip(col_coords - ax[:, None, None], 0, patch_w - 1)
+    if row_base is not None:
+        ay = ay + row_base  # absolute slice anchor in the stacked integral
 
     # ---- Chunked one-hot contraction.
     pad_k = (-k) % chunk

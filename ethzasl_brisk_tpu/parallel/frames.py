@@ -121,23 +121,27 @@ class FramePipeline:
 
 @partial(jax.jit, static_argnames=("feature", "mesh"))
 def _pipeline_step(pattern, frames, feature: BriskFeature, mesh: Mesh):
-    from ethzasl_brisk_tpu.describe.extractor import extract_descriptors
+    from ethzasl_brisk_tpu.describe.extractor import (
+        extract_descriptors_batch,
+    )
 
     frames = jax.lax.with_sharding_constraint(
         frames, NamedSharding(mesh, P("data", None, None))
     )
 
-    def one(img):
-        kps = feature.detect(img)
-        return extract_descriptors(
-            pattern, img, kps,
-            rotation_invariant=feature.rotation_invariant,
-            scale_invariant=feature.scale_invariant,
-            sampler=feature.sampler,
-            skip_small=feature.extractor.skip_small,
-        )
-
-    kps, desc = jax.vmap(one)(frames)
+    det = jax.vmap(feature.detect)(frames)
+    # One flat describe call over all frames' keypoints: the chunked MXU
+    # patch sampler needs the keypoint axis whole (vmapping it serializes
+    # the per-chunk dynamic slices) — extract_descriptors_batch docs.
+    kps, desc = extract_descriptors_batch(
+        pattern, frames, det,
+        rotation_invariant=feature.rotation_invariant,
+        scale_invariant=feature.scale_invariant,
+        sampler=feature.sampler,
+        patch_h=feature.patch_h,
+        patch_w=feature.patch_w,
+        skip_small=feature.extractor.skip_small,
+    )
     desc = jax.lax.with_sharding_constraint(
         desc, NamedSharding(mesh, P("data", None, None))
     )

@@ -43,6 +43,11 @@ class BriskFeature:
     max_keypoints: int = 4096
     refine_dtype: str = "float32"
     sampler: str = "gather"   # descriptor sampling backend ('patch' = MXU)
+    # Patch-sampler patch dims; must cover the pattern extent of the
+    # largest keypoint scale the detector can emit (extent ~= size + 2;
+    # supported extent is patch/2 - 2 — fast_sampler.py docs).
+    patch_h: int = 192
+    patch_w: int = 192
 
     def __post_init__(self):
         object.__setattr__(
@@ -66,6 +71,8 @@ class BriskFeature:
                 scale_invariant=self.scale_invariant,
                 version=self.version,
                 sampler=self.sampler,
+                patch_h=self.patch_h,
+                patch_w=self.patch_w,
             ),
         )
 

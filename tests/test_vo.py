@@ -255,7 +255,11 @@ def test_sequence_eval_harness(tmp_path):
     out = subprocess.run(
         [sys.executable, "tools/sequence_eval.py", str(tmp_path),
          "--gt", str(tmp_path / "poses.txt"), "--gt-format", "kitti",
-         "--fu", "400", "--fv", "400", "--cu", "320", "--cv", "240"],
+         "--fu", "400", "--fv", "400", "--cu", "320", "--cv", "240",
+         # Hermetic: pin the subprocess to CPU (the axon TPU plugin
+         # ignores JAX_PLATFORMS; tunnel compiles can exceed the test
+         # timeout).
+         "--platform", "cpu"],
         cwd="/root/repo", capture_output=True, text=True, timeout=400,
         env={**__import__("os").environ, "JAX_PLATFORMS": ""},
     )

@@ -26,7 +26,16 @@ def main():
     ap.add_argument("--cu", type=float, default=319.5)
     ap.add_argument("--cv", type=float, default=239.5)
     ap.add_argument("--max-frames", type=int, default=200)
+    # The axon TPU plugin overrides the JAX_PLATFORMS env var; only the
+    # config API reliably selects a backend (NOTES.md). 'cpu' makes runs
+    # hermetic (tests); 'auto' uses whatever jax picks (TPU if present).
+    ap.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
