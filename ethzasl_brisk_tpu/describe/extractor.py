@@ -419,11 +419,7 @@ def extract_descriptors_batch(
     """
     b, h, w = imgs.shape
     k = keypoints.x.shape[-1]
-    integral = jax.vmap(integral_image_i32)(imgs)  # (B, H+1, W+1)
-    int_flat = integral.reshape(b * (h + 1), w + 1)
-    img_pad = jnp.concatenate(
-        [imgs, jnp.zeros((b, 1, w), imgs.dtype)], axis=1
-    ).reshape(b * (h + 1), w)
+    img_pad, int_flat = _stack_frames(imgs)
     row_base = jnp.repeat(jnp.arange(b, dtype=jnp.int32) * (h + 1), k)
 
     flat_kp = jax.tree_util.tree_map(
@@ -443,6 +439,71 @@ def extract_descriptors_batch(
     return out_kp, desc.reshape(b, k, -1)
 
 
+def _stack_frames(imgs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stack (B, H, W) frames along rows with an (H+1) row stride.
+
+    Returns (img_pad (B*(H+1), W), int_flat (B*(H+1), W+1)): one zero
+    padding row per frame keeps image and integral on the same stride so
+    a single integer ``row_base = frame*(H+1)`` addresses both.
+    """
+    b, h, w = imgs.shape
+    integral = jax.vmap(integral_image_i32)(imgs)  # (B, H+1, W+1)
+    int_flat = integral.reshape(b * (h + 1), w + 1)
+    img_pad = jnp.concatenate(
+        [imgs, jnp.zeros((b, 1, w), imgs.dtype)], axis=1
+    ).reshape(b * (h + 1), w)
+    return img_pad, int_flat
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "rotation_invariant", "scale_invariant", "sampler", "patch_h",
+        "patch_w", "skip_small",
+    ),
+)
+def extract_descriptors_views(
+    pat: DevicePattern,
+    imgs: jnp.ndarray,        # (V, H, W) uint8 view images
+    keypoints: KeyPoints,     # FLAT (K,) fields, coords in view space
+    view_idx: jnp.ndarray,    # (K,) i32 — which view each keypoint lives in
+    *,
+    rotation_invariant: bool = True,
+    scale_invariant: bool = True,
+    sampler: str = "gather",
+    patch_h: int = 192,
+    patch_w: int = 192,
+    skip_small: bool = False,
+    view_cols: jnp.ndarray | None = None,  # (V,) i32 true view widths
+    view_rows: jnp.ndarray | None = None,  # (V,) i32 true view heights
+) -> tuple[KeyPoints, jnp.ndarray]:
+    """Describe a flat keypoint set where each keypoint samples from its
+    own frame of a stacked set (camera-aware virtual views).
+
+    Same stacked-frame layout as :func:`extract_descriptors_batch`, but
+    with an arbitrary per-keypoint frame assignment instead of contiguous
+    (B, K) blocks — ONE dense describe call covers every view (the
+    reference loops views and re-runs compute per group,
+    brisk/src/camera-aware-feature.cc:590-640). ``view_cols/rows`` give
+    each view's TRUE size when the stacked images are padded to a common
+    shape: the border filter (RoiPredicate,
+    brisk-descriptor-extractor.cc:532-536) then applies per view.
+    """
+    v, h, w = imgs.shape
+    img_pad, int_flat = _stack_frames(imgs)
+    row_base = view_idx.astype(jnp.int32) * (h + 1)
+    return _describe_core(
+        pat, img_pad, int_flat, h, w, keypoints,
+        row_base=row_base,
+        rotation_invariant=rotation_invariant,
+        scale_invariant=scale_invariant,
+        sampler=sampler, patch_h=patch_h, patch_w=patch_w,
+        skip_small=skip_small,
+        col_limit=None if view_cols is None else view_cols[view_idx],
+        row_limit=None if view_rows is None else view_rows[view_idx],
+    )
+
+
 def _describe_core(
     pat: DevicePattern,
     img: jnp.ndarray,
@@ -458,15 +519,19 @@ def _describe_core(
     patch_h: int,
     patch_w: int,
     skip_small: bool,
+    col_limit: jnp.ndarray | None = None,  # (K,) per-keypoint true width
+    row_limit: jnp.ndarray | None = None,
 ) -> tuple[KeyPoints, jnp.ndarray]:
     scale_idx = scale_index(keypoints.size, scale_invariant)  # (K,)
     border = pat.size_list[scale_idx]  # (K,) i32
     bf = border.astype(jnp.float32)
+    w_lim = cols if col_limit is None else col_limit.astype(jnp.float32)
+    h_lim = rows if row_limit is None else row_limit.astype(jnp.float32)
     inside = (
         (keypoints.x >= bf)
-        & (keypoints.x < cols - bf)
+        & (keypoints.x < w_lim - bf)
         & (keypoints.y >= bf)
-        & (keypoints.y < rows - bf)
+        & (keypoints.y < h_lim - bf)
     )
     valid = keypoints.valid & inside
 
@@ -478,8 +543,9 @@ def _describe_core(
     sigma = pat.lut_sigma[scale_idx]
     scaling = pat.lut_scaling[scale_idx]
     scaling2 = pat.lut_scaling2[scale_idx]
-    if row_base is not None:
-        # Patches/gathers must stay inside one frame's (rows+1)-row block.
+    if row_base is not None and sampler == "patch":
+        # Patches must stay inside one frame's (rows+1)-row block (the
+        # gather sampler clips per-tap and has no such constraint).
         assert patch_h <= rows + 1, (patch_h, rows)
 
     if sampler == "patch":
