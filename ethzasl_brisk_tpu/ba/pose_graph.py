@@ -58,8 +58,14 @@ def _edge_residuals(g: PoseGraph):
     return se3_log(r_err, t_err)  # (E, 6)
 
 
-def _step(g: PoseGraph, damping):
-    n = g.r.shape[0]
+def assemble_normal_equations(g: PoseGraph, n: int):
+    """Edge-parallel GN assembly: returns (H (N,6,N,6), b (N,6), cost).
+
+    Pure sum over edges — shardable: a partition of the edge set yields
+    partial (H, b, cost) whose psum equals the full assembly (the
+    distributed pose-graph path, parallel/dist_pg.py, relies on this).
+    Zero-weight edges contribute nothing (used for padding).
+    """
     res = _edge_residuals(g)  # (E, 6)
     w = g.weight
 
@@ -73,39 +79,47 @@ def _step(g: PoseGraph, damping):
     r_c, t_c = se3_compose(rm_inv, tm_inv, r_est, t_est)
     ad_j = -_adjoint(r_c, t_c)
 
-    # Assemble H (6N x 6N), b.
     h = jnp.zeros((n, 6, n, 6), res.dtype)
     b = jnp.zeros((n, 6), res.dtype)
 
-    def blocks(ja, jb, ia, ib, h, b):
+    def blocks(ja, jb, ia, ib, h):
         hij = jnp.einsum("eai,eab->eib", ja * w[:, None, None], jb)
-        h = h.at[ia, :, ib, :].add(hij)
-        return h
+        return h.at[ia, :, ib, :].add(hij)
 
-    h = blocks(ad_i, ad_i, g.edge_i, g.edge_i, h, b)
-    h = blocks(ad_i, ad_j, g.edge_i, g.edge_j, h, b)
-    h = blocks(ad_j, ad_i, g.edge_j, g.edge_i, h, b)
-    h = blocks(ad_j, ad_j, g.edge_j, g.edge_j, h, b)
+    h = blocks(ad_i, ad_i, g.edge_i, g.edge_i, h)
+    h = blocks(ad_i, ad_j, g.edge_i, g.edge_j, h)
+    h = blocks(ad_j, ad_i, g.edge_j, g.edge_i, h)
+    h = blocks(ad_j, ad_j, g.edge_j, g.edge_j, h)
     b = b.at[g.edge_i].add(
         jnp.einsum("eai,ea->ei", ad_i * w[:, None, None], res)
     )
     b = b.at[g.edge_j].add(
         jnp.einsum("eai,ea->ei", ad_j * w[:, None, None], res)
     )
+    cost = jnp.sum(res * res * w[:, None])
+    return h, b, cost
 
-    hm = h.reshape(6 * n, 6 * n) + damping * jnp.eye(6 * n, dtype=res.dtype)
+
+def solve_and_update(g: PoseGraph, h, b, damping):
+    """Gauge-fixed damped solve + left-increment pose update."""
+    n = g.r.shape[0]
+    hm = h.reshape(6 * n, 6 * n) + damping * jnp.eye(6 * n, dtype=h.dtype)
     bv = b.reshape(6 * n)
     fix = jnp.arange(6 * n) < 6
     hm = jnp.where(fix[:, None] | fix[None, :], 0.0, hm)
-    hm = hm + jnp.diag(fix.astype(res.dtype))
+    hm = hm + jnp.diag(fix.astype(h.dtype))
     bv = jnp.where(fix, 0.0, bv)
 
     delta = -jnp.linalg.solve(hm, bv).reshape(n, 6)
     dr, dt = se3_exp(delta)
     r_new = dr @ g.r
     t_new = jnp.einsum("nij,nj->ni", dr, g.t) + dt
-    cost = jnp.sum(res * res * w[:, None])
-    return dataclasses.replace(g, r=r_new, t=t_new), cost
+    return dataclasses.replace(g, r=r_new, t=t_new)
+
+
+def _step(g: PoseGraph, damping):
+    h, b, cost = assemble_normal_equations(g, g.r.shape[0])
+    return solve_and_update(g, h, b, damping), cost
 
 
 @partial(jax.jit, static_argnames=("iterations",))

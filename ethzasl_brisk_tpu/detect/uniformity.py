@@ -14,20 +14,40 @@ non-negative, so per-step clipping equals clipping the raw running sum).
 That turns the reference's grid-walk into a *blocked interaction* scheme:
 
 * process candidates in blocks of B (score order preserved);
-* cross-block influence goes through an int32 scatter-ADD occupancy
-  accumulator, updated once per block (clip applied at read time);
+* cross-block influence: NO occupancy grid at all — scattering 31x31
+  paint patches per block dominated everything on TPU (XLA serializes
+  colliding scatter rows; measured ~97% of detect time). Instead a
+  compact list of accepted candidates is maintained (capacity = the
+  acceptance cap + one block of slack) and each block's pre-block
+  occupancy reading is a fused (W, B) pairwise reduction against that
+  list, windowed by the LIVE accepted count (windows of W; typically
+  1-3 per block) — compute scales with actual accepts, and the paint
+  values come from the same gathered LUT;
+* the block loop stops once the cap is reached: capped greedy is a
+  prefix of uncapped greedy (below), so later blocks cannot contribute;
 * within-block influence is a (B, B) pairwise paint matrix gathered from
   the same 31x31 LUT (entry [j, i] = paint of accepted candidate j at
   candidate i's cell);
-* the only sequential part left is a B-step ``fori_loop`` per block over
-  tiny (B,) vectors — O(K) scalar-ish steps instead of O(K) full 31x31
-  patch scatters;
+* the within-block sequential recurrence is solved by an exact
+  interval-bound fixpoint instead of B sequential steps: a candidate's
+  occupancy reading lies between "accepted predecessors only" (lower)
+  and "accepted + still-undecided predecessors" (upper) — paints are
+  non-negative, so the reading is monotone in the accept set. Each round
+  resolves every candidate whose two bounds agree on the outcome; the
+  earliest undecided candidate always resolves (its predecessors are all
+  decided), so rounds ~= conflict-chain depth (a handful) rather than B.
+  Each round is two (B,)x(B,B) integer contractions — VPU-trivial;
+* the acceptance cap leaves the loop entirely: capped greedy equals the
+  first-cap prefix (in candidate order) of the UNCAPPED accept list,
+  because greedy decisions depend only on previously ACCEPTED candidates
+  and the cap only cuts the tail — applied as a cumsum post-pass;
 * blocks whose candidates are all invalid are skipped entirely
   (``while_loop``; candidates arrive sorted valid-first from top-k).
 
 Bit-exact vs the sequential reference semantics: same paint values (the
 LUT table itself is gathered, not recomputed), same read/clip points, same
-acceptance condition and cap counting, same order.
+acceptance condition and cap counting, same order
+(enforce_uniformity_sequential below is the oracle; tests compare).
 """
 from __future__ import annotations
 
@@ -78,10 +98,6 @@ def enforce_uniformity(
     """
     k = xs.shape[0]
     scaling = np.float32(15.0 / radius)
-    occ_rows = rows * int(math.ceil(scaling)) + 32
-    occ_cols = cols * int(math.ceil(scaling)) + 32
-    lut = jnp.asarray(radial_lut())          # (31, 31) f32
-    lut_flat = lut.reshape(-1)
 
     scores_f = scores.astype(jnp.float32)
     max_score = scores_f[0]  # candidates arrive sorted descending
@@ -110,67 +126,133 @@ def enforce_uniformity(
     valid_b = padded(valid, False)
     block_live = jnp.any(valid_b, axis=1)  # skip all-invalid blocks
 
-    # Paint patch per candidate: ceil(LUT * 0.99 * nsc1) (inl.h:112 class).
-    ar = jnp.arange(31)
+    # Compact accepted list: paints of empty slots are exactly zero
+    # (nsc=0 -> ceil(lut*0) = 0), so windows never need count masking.
+    cap_eff = min(max_num_kpt, kp)
+    win = 256
+    a_pad = -(-(cap_eff + b) // win) * win  # cap + terminal-block slack
 
-    def run_block(bi, occ, n_acc):
+    def pair_paint(px, py, pn, qx, qy):
+        """Paint of candidates (px, py, pn) at cells (qx, qy): (P, Q) i32.
+
+        Gather-free closed form: max(0, (225 - d2)/225) in f32 is
+        BIT-IDENTICAL to the f64-built radial LUT for every integer d2
+        (one correctly-rounded division vs f64-then-cast — verified
+        exhaustively), and it extends the 31x31 patch with exact zeros
+        (any |dy| or |dx| > 15 implies d2 >= 256 > 225), so no inside
+        mask is needed. Replaces a (P*Q)-element table gather — the TPU
+        hot spot of the blocked pass."""
+        dy = (qy[None, :] - py[:, None]).astype(jnp.float32)
+        dx = (qx[None, :] - px[:, None]).astype(jnp.float32)
+        d2 = dy * dy + dx * dx
+        lutv = jnp.maximum((np.float32(225.0) - d2) / np.float32(225.0),
+                           np.float32(0.0))
+        return jnp.ceil(lutv * (0.99 * pn[:, None])).astype(jnp.int32)
+
+    def run_block(bi, st):
+        acc_x, acc_y, acc_n, count = st
         bcx, bcy = cx_b[bi], cy_b[bi]
         bnsc, bval = nsc1_b[bi], valid_b[bi]
 
-        # Pre-block occupancy at each candidate's cell (raw int32 sums).
-        base = occ[bcy, bcx]
+        # Pre-block occupancy reading at each candidate's cell: fused
+        # pairwise reduction against the accepted list, windowed by the
+        # live count (all list entries precede this block in order).
+        n_win = (count + (win - 1)) // win
 
-        # Within-block pairwise paint: M[j, i] = ceil(lut[dyi, dxi] *
-        # (0.99*nsc1[j])) where (dyi, dxi) = candidate i's offset inside
-        # candidate j's 31x31 patch; zero outside the patch.
-        dy = bcy[None, :] - bcy[:, None] + 15   # (j, i)
-        dx = bcx[None, :] - bcx[:, None] + 15
-        inside = (dy >= 0) & (dy < 31) & (dx >= 0) & (dx < 31)
-        idx = jnp.clip(dy, 0, 30) * 31 + jnp.clip(dx, 0, 30)
-        lutv = jnp.take(lut_flat, idx.reshape(-1)).reshape(b, b)
-        m = jnp.ceil(lutv * (0.99 * bnsc[:, None])).astype(jnp.int32)
-        m = jnp.where(inside, m, 0)
+        def wcond(wst):
+            return wst[0] < n_win
 
-        def body(t, st):
-            acc, accept, n = st
-            s0 = jnp.minimum(base[t] + acc[t], 255).astype(jnp.float32)
-            ok = bval[t] & (n < max_num_kpt) & ~(bnsc[t] < s0)
-            acc = acc + m[t] * ok.astype(jnp.int32)
-            accept = accept.at[t].set(ok)
-            return acc, accept, n + ok.astype(jnp.int32)
+        def wstep(wst):
+            wi, s = wst
+            ax = jax.lax.dynamic_slice(acc_x, (wi * win,), (win,))
+            ay = jax.lax.dynamic_slice(acc_y, (wi * win,), (win,))
+            an = jax.lax.dynamic_slice(acc_n, (wi * win,), (win,))
+            s = s + jnp.sum(
+                pair_paint(ax, ay, an, bcx, bcy), axis=0,
+                dtype=jnp.int32,  # x64 mode promotes int32 sums
+            )
+            return wi + 1, s
 
-        acc0 = jnp.zeros((b,), jnp.int32)
-        accept0 = jnp.zeros((b,), bool)
-        _, accept_blk, n_acc = jax.lax.fori_loop(
-            0, b, body, (acc0, accept0, n_acc)
+        _, base = jax.lax.while_loop(
+            wcond, wstep, (jnp.int32(0), jnp.zeros((b,), jnp.int32))
         )
 
-        # Commit accepted paints to the occupancy accumulator (scatter-ADD
-        # of raw sums; clip happens at read).
-        paint = jnp.ceil(
-            lut[None] * (0.99 * bnsc[:, None, None])
-        ).astype(jnp.int32) * accept_blk[:, None, None].astype(jnp.int32)
-        ridx = bcy[:, None, None] - 15 + ar[None, :, None]
-        cidx = bcx[:, None, None] - 15 + ar[None, None, :]
-        occ = occ.at[ridx, cidx].add(paint)
-        return occ, n_acc, accept_blk
+        # Within-block pairwise paint, zero when j >= i (only EARLIER
+        # candidates' paints are read by the greedy pass).
+        tri = jnp.arange(b)[:, None] < jnp.arange(b)[None, :]  # j < i
+        m = jnp.where(tri, pair_paint(bcx, bcy, bnsc, bcx, bcy), 0)
+
+        # Interval-bound fixpoint (module docstring): resolve candidates
+        # whose lower/upper occupancy bounds agree on the outcome.
+        def fix_cond(fst):
+            acc, und = fst
+            return jnp.any(und)
+
+        def fix_step(fst):
+            acc, und = fst
+            s_lo = acc.astype(jnp.int32) @ m            # accepted only
+            s_hi = (acc | und).astype(jnp.int32) @ m    # + undecided
+            lo = jnp.minimum(base + s_lo, 255).astype(jnp.float32)
+            hi = jnp.minimum(base + s_hi, 255).astype(jnp.float32)
+            acc_new = und & ~(bnsc < hi)   # passes even the upper bound
+            rej_new = und & (bnsc < lo)    # fails even the lower bound
+            return acc | acc_new, und & ~(acc_new | rej_new)
+
+        acc0 = jnp.zeros((b,), bool)
+        accept_blk, _ = jax.lax.while_loop(
+            fix_cond, fix_step, (acc0, bval)
+        )
+
+        # Append accepted candidates to the list (tiny 1-D scatter;
+        # overflow beyond capacity only possible in the terminal block,
+        # after which the loop stops — dropped entries are irrelevant).
+        pos = count + jnp.cumsum(
+            accept_blk.astype(jnp.int32), dtype=jnp.int32
+        ) - 1
+        tgt = jnp.where(accept_blk, pos, a_pad).astype(jnp.int32)
+        acc_x = acc_x.at[tgt].set(bcx, mode="drop")
+        acc_y = acc_y.at[tgt].set(bcy, mode="drop")
+        acc_n = acc_n.at[tgt].set(bnsc, mode="drop")
+        count = count + jnp.sum(
+            accept_blk.astype(jnp.int32), dtype=jnp.int32
+        )
+        return (acc_x, acc_y, acc_n, count), accept_blk
 
     def cond(state):
-        bi, occ, n_acc, accept = state
-        return (bi < n_blocks) & block_live[jnp.minimum(bi, n_blocks - 1)]
+        bi, lst, accept = state
+        # Stop at the cap: capped greedy is a prefix of uncapped greedy,
+        # so once `cap_eff` candidates are accepted no later block can
+        # change the (capped) output.
+        return (
+            (bi < n_blocks)
+            & block_live[jnp.minimum(bi, n_blocks - 1)]
+            & (lst[3] < cap_eff)
+        )
 
     def step(state):
-        bi, occ, n_acc, accept = state
-        occ, n_acc, accept_blk = run_block(bi, occ, n_acc)
+        bi, lst, accept = state
+        lst, accept_blk = run_block(bi, lst)
         accept = jax.lax.dynamic_update_slice(accept, accept_blk, (bi * b,))
-        return bi + 1, occ, n_acc, accept
+        return bi + 1, lst, accept
 
-    occ0 = jnp.zeros((occ_rows, occ_cols), jnp.int32)
-    accept0 = jnp.zeros((kp,), bool)
-    _, _, _, accept = jax.lax.while_loop(
-        cond, step, (jnp.int32(0), occ0, jnp.int32(0), accept0)
+    lst0 = (
+        jnp.full((a_pad,), 16, jnp.int32),
+        jnp.full((a_pad,), 16, jnp.int32),
+        jnp.zeros((a_pad,), jnp.float32),
+        jnp.int32(0),
     )
-    return accept[:k]
+    accept0 = jnp.zeros((kp,), bool)
+    _, _, accept = jax.lax.while_loop(
+        cond, step, (jnp.int32(0), lst0, accept0)
+    )
+    accept = accept[:k]
+    # Acceptance cap: capped greedy == first-cap prefix of the uncapped
+    # accept list (greedy reads only ACCEPTED predecessors; the cap only
+    # truncates the tail).
+    return accept & (
+        jnp.cumsum(accept.astype(jnp.int32), dtype=jnp.int32)
+        <= max_num_kpt
+    )
 
 
 @partial(

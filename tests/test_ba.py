@@ -224,6 +224,27 @@ class TestPoseGraph:
             np.asarray(out.t), t_gt, atol=1e-2
         )
 
+        # Edge-partitioned solve over the virtual 8-device mesh (config-5
+        # slice): same solution, psum-reduced assembly.
+        from ethzasl_brisk_tpu.parallel import make_mesh
+        from ethzasl_brisk_tpu.parallel.dist_pg import (
+            optimize_pose_graph_sharded,
+            partition_edges,
+        )
+
+        mesh = make_mesh(1, 4)
+        with mesh:
+            out_s, costs_s = optimize_pose_graph_sharded(
+                mesh, partition_edges(g, 4), iterations=15, damping=1e-5
+            )
+        assert float(costs_s[-1]) < 1e-6, np.asarray(costs_s)
+        np.testing.assert_allclose(
+            np.asarray(out_s.t), np.asarray(out.t), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.r), np.asarray(out.r), atol=1e-4
+        )
+
 
 class TestMultiHost:
     def test_two_process_distributed_ba(self, tmp_path):
@@ -246,5 +267,10 @@ class TestMultiHost:
         codes = [p.wait(timeout=420) for p in procs]
         logs = b"\n".join(p.stdout.read() for p in procs)
         assert codes == [0, 0], logs.decode()[-2000:]
-        c0, c1 = (float(v) for v in out.read_text().split())
+        c0, c1, pg_cost, pg_terr = (
+            float(v) for v in out.read_text().split()
+        )
         assert c0 > 100.0 and c1 < 1e-4, (c0, c1)
+        # Partitioned pose graph (cross-process edges psum-reduced):
+        # converged and recovered the ground-truth trajectory.
+        assert pg_cost < 1e-6 and pg_terr < 1e-2, (pg_cost, pg_terr)

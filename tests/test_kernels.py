@@ -432,10 +432,17 @@ class TestUniformity:
         )
 
         rng = np.random.default_rng(42)
-        for k, radius in ((200, 30.0), (513, 15.0), (256, 45.0)):
+        for k, radius, span in (
+            (200, 30.0, 640),
+            (513, 15.0, 640),
+            (256, 45.0, 640),
+            # Dense cluster: long accept/reject dependency chains stress
+            # the interval-bound fixpoint's middle ("wait") state.
+            (512, 30.0, 120),
+        ):
             n_valid = int(rng.integers(1, k + 1))
-            xs = rng.integers(0, 640, k).astype(np.int32)
-            ys = rng.integers(0, 480, k).astype(np.int32)
+            xs = rng.integers(0, span, k).astype(np.int32)
+            ys = rng.integers(0, min(span, 480), k).astype(np.int32)
             sc = np.sort(rng.integers(20, 100000, k))[::-1].astype(np.int32)
             sc[n_valid:] = -(2**31)
             valid = np.zeros(k, bool)

@@ -94,7 +94,64 @@ with mesh:
     )
     costs = np.asarray(jax.device_get(costs))
 
+# ---- Partitioned pose graph across the same multi-process mesh ----
+# (config 5: edges sharded over 'model', cross-process psum per GN step).
+from ethzasl_brisk_tpu.ba.pose_graph import PoseGraph
+from ethzasl_brisk_tpu.ba.se3 import so3_exp
+from ethzasl_brisk_tpu.parallel.dist_pg import (
+    optimize_pose_graph_sharded,
+    partition_edges,
+)
+
+n_nodes = 12
+angles = np.linspace(0, 2 * np.pi, n_nodes, endpoint=False)
+r_gt = np.stack([
+    np.array([[np.cos(a), -np.sin(a), 0],
+              [np.sin(a), np.cos(a), 0],
+              [0, 0, 1]]) for a in angles
+])
+c_gt = np.stack([5 * np.cos(angles), 5 * np.sin(angles),
+                 np.zeros(n_nodes)], 1)
+t_gt = -np.einsum("nij,nj->ni", r_gt, c_gt)
+ei = np.append(np.arange(n_nodes - 1), n_nodes - 1)
+ej = np.append(np.arange(1, n_nodes), 0)
+rel_r = np.einsum("nij,nkj->nik", r_gt[ei], r_gt[ej])
+rel_t = t_gt[ei] - np.einsum("nij,nj->ni", rel_r, t_gt[ej])
+w_noise = rng.normal(0, 0.03, (n_nodes, 3))
+w_noise[0] = 0
+r0 = np.asarray(so3_exp(jnp.asarray(w_noise, f32))) @ r_gt
+t0 = t_gt + rng.normal(0, 0.2, (n_nodes, 3)) * (np.arange(n_nodes) > 0)[:, None]
+
+graph = partition_edges(
+    PoseGraph(
+        r=jnp.asarray(r0, f32), t=jnp.asarray(t0, f32),
+        edge_i=jnp.asarray(ei, jnp.int32), edge_j=jnp.asarray(ej, jnp.int32),
+        rel_r=jnp.asarray(rel_r, f32), rel_t=jnp.asarray(rel_t, f32),
+        weight=jnp.ones((len(ei),), f32),
+    ),
+    len(devices),
+)
+graph = dataclasses.replace(
+    graph,
+    edge_i=put(graph.edge_i, P("model")),
+    edge_j=put(graph.edge_j, P("model")),
+    rel_r=put(graph.rel_r, P("model", None, None)),
+    rel_t=put(graph.rel_t, P("model", None)),
+    weight=put(graph.weight, P("model")),
+)
+with mesh:
+    pg_out, pg_costs = optimize_pose_graph_sharded(
+        mesh, graph, iterations=12, damping=1e-5
+    )
+    pg_costs = np.asarray(jax.device_get(pg_costs))
+pg_t_err = float(
+    np.abs(np.asarray(jax.device_get(pg_out.t)) - t_gt).max()
+)
+
 if pid == 0:
     with open(out_path, "w") as f:
-        f.write(f"{costs[0]:.6e} {costs[-1]:.6e}\n")
-print(f"proc {pid}: cost {costs[0]:.3e} -> {costs[-1]:.3e}", flush=True)
+        f.write(f"{costs[0]:.6e} {costs[-1]:.6e} "
+                f"{pg_costs[-1]:.6e} {pg_t_err:.6e}\n")
+print(f"proc {pid}: cost {costs[0]:.3e} -> {costs[-1]:.3e}; "
+      f"pg {pg_costs[0]:.3e} -> {pg_costs[-1]:.3e} terr {pg_t_err:.3e}",
+      flush=True)
