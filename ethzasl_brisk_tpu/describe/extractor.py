@@ -246,6 +246,141 @@ def smoothed_intensity_u8(
     return jnp.where(sigma_half < 0.5, small, box)
 
 
+def smoothed_intensity_f32(
+    img: jnp.ndarray,       # (H, W) f32 scaled image (uint16/65536)
+    integral: jnp.ndarray,  # (H+1, W+1) f32 integral of the scaled image
+    key_x: jnp.ndarray,
+    key_y: jnp.ndarray,
+    pat_x: jnp.ndarray,
+    pat_y: jnp.ndarray,
+    pat_sigma: jnp.ndarray,
+    pat_area: jnp.ndarray,   # (K, P) f32 = 4*sigma_half^2
+    *,
+    row_base: jnp.ndarray | None = None,
+    frame_rows: int | None = None,
+) -> jnp.ndarray:
+    """16-bit-image smoothed intensity: SmoothedIntensity<float, float>
+    semantics (brisk-descriptor-extractor.cc:368-530, call sites
+    :707-711, :767-771). All weights stay float (no truncation), the
+    result truncates to int32.
+
+    NOTE the upstream 16-bit path is latently broken: ``imageScaled`` is
+    never assigned from the input (brisk-descriptor-extractor.cc:672-674)
+    and the int32 integral is bit-reinterpreted as float (:461). This
+    implements the evident INTENT: image scaled to [0, 1] (/65536) with
+    a float integral (kernels/integral.integral_image_16_f32). One
+    deliberate deviation: the output scale is x256, not the reference's
+    x65536 — x65536 values overflow int32 in the long-pair orientation
+    sums (delta * weight), another latent upstream bug; x256 lands the
+    float path exactly in the 8-bit path's value range (pixel8 * 1024),
+    and descriptor bits / orientation are invariant to the positive
+    common scale.
+    """
+    cols = img.shape[1]
+    rows = img.shape[0] if frame_rows is None else frame_rows
+    imgf = img
+    intf = integral
+
+    xf = pat_x + key_x[:, None]
+    yf = pat_y + key_y[:, None]
+    sigma_half = pat_sigma
+
+    def shift(y):
+        return y if row_base is None else y + row_base[:, None]
+
+    def at_img(y, x):
+        y = shift(jnp.clip(y, 0, rows - 1))
+        x = jnp.clip(x, 0, cols - 1)
+        return imgf[y, x]
+
+    def at_int(y, x):
+        y = shift(jnp.clip(y, 0, rows))
+        x = jnp.clip(x, 0, cols)
+        return intf[y, x]
+
+    # ---- Small-sigma bilinear (:390-408): int ratios, float pixels.
+    x_i, y_i = _trunc_i32(xf), _trunc_i32(yf)
+    r_x = _trunc_i32((xf - x_i.astype(jnp.float32)) * 1024).astype(
+        jnp.float32
+    )
+    r_y = _trunc_i32((yf - y_i.astype(jnp.float32)) * 1024).astype(
+        jnp.float32
+    )
+    r_x_1b = 1024.0 - r_x
+    r_y_1b = 1024.0 - r_y
+    small_val = (
+        r_x_1b * r_y_1b * at_img(y_i, x_i)
+        + r_x * r_y_1b * at_img(y_i, x_i + 1)
+        + r_x * r_y * at_img(y_i + 1, x_i + 1)
+        + r_x_1b * r_y * at_img(y_i + 1, x_i)
+    ) / 1024.0
+
+    # ---- Box path (:410-495) with float weights (no truncation).
+    scaling = 4194304.0 / pat_area
+    scaling2 = scaling * pat_area / 1024.0
+
+    x_1 = xf - sigma_half
+    x1 = xf + sigma_half
+    y_1 = yf - sigma_half
+    y1 = yf + sigma_half
+    x_left = _trunc_i32(x_1 + 0.5)
+    y_top = _trunc_i32(y_1 + 0.5)
+    x_right = _trunc_i32(x1 + 0.5)
+    y_bottom = _trunc_i32(y1 + 0.5)
+    x_left, y_top, x_right, y_bottom = jax.lax.optimization_barrier(
+        (x_left, y_top, x_right, y_bottom)
+    )
+
+    r_x_1f = x_left.astype(jnp.float32) - x_1 + 0.5
+    r_y_1f = y_top.astype(jnp.float32) - y_1 + 0.5
+    r_x1f = x1 - x_right.astype(jnp.float32) + 0.5
+    r_y1f = y1 - y_bottom.astype(jnp.float32) + 0.5
+    w_a = r_x_1f * r_y_1f * scaling
+    w_b = r_x1f * r_y_1f * scaling
+    w_c = r_x1f * r_y1f * scaling
+    w_d = r_x_1f * r_y1f * scaling
+    r_x_1_i = r_x_1f * scaling
+    r_y_1_i = r_y_1f * scaling
+    r_x1_i = r_x1f * scaling
+    r_y1_i = r_y1f * scaling
+
+    dx_i = x_right - x_left - 1
+    dy_i = y_bottom - y_top - 1
+    big = dx_i + dy_i > 2
+    cd_y = jnp.where(big, y_bottom - 1, y_bottom)
+    c_x = jnp.where(big, x_right + 1, x_right)
+    d_x = jnp.where(big, x_left + 1, x_left)
+    corners = (
+        w_a * at_img(y_top, x_left)
+        + w_b * at_img(y_top, x_right)
+        + w_c * at_img(cd_y, c_x)
+        + w_d * at_img(cd_y, d_x)
+    )
+
+    t1 = at_int(y_top, x_left + 1)
+    t2 = at_int(y_top, x_right)
+    t3 = at_int(y_top + 1, x_right)
+    t4 = at_int(y_top + 1, x_right + 1)
+    t5 = at_int(y_bottom, x_right + 1)
+    t6 = at_int(y_bottom, x_right)
+    t7 = at_int(y_bottom + 1, x_right)
+    t8 = at_int(y_bottom + 1, x_left + 1)
+    t9 = at_int(y_bottom, x_left + 1)
+    t10 = at_int(y_bottom, x_left)
+    t11 = at_int(y_top + 1, x_left)
+    t12 = at_int(y_top + 1, x_left + 1)
+
+    upper = (t3 - t2 + t1 - t12) * r_y_1_i
+    middle = (t6 - t3 + t12 - t9) * scaling
+    left = (t9 - t12 + t11 - t10) * r_x_1_i
+    right = (t5 - t4 + t3 - t6) * r_x1_i
+    bottom = (t7 - t6 + t9 - t8) * r_y1_i
+    box = (corners + upper + middle + left + right + bottom) / scaling2
+
+    val = jnp.where(sigma_half < 0.5, small_val, box)
+    return _trunc_i32(256.0 * val)
+
+
 @dataclasses.dataclass(frozen=True)
 class BriskExtractor:
     """TPU-native BriskDescriptorExtractor.
@@ -369,9 +504,21 @@ def extract_descriptors(
     patch_w: int = 192,
     skip_small: bool = False,
 ) -> tuple[KeyPoints, jnp.ndarray]:
-    """BRISK description with the pattern as a runtime pytree argument."""
+    """BRISK description with the pattern as a runtime pytree argument.
+
+    uint8 images use the reference-exact fixed-point path; uint16 images
+    use the float path scaled to [0, 1] with a float integral
+    (SmoothedIntensity<float, float> x65536 — smoothed_intensity_f32
+    docs; the reference's own 16-bit wiring is latently broken).
+    """
     rows, cols = img.shape
-    integral = jax.lax.optimization_barrier(integral_image_i32(img))
+    if img.dtype == jnp.uint16:
+        from ethzasl_brisk_tpu.kernels.integral import integral_image_16_f32
+
+        integral = jax.lax.optimization_barrier(integral_image_16_f32(img))
+        img = img.astype(jnp.float32) / 65536.0
+    else:
+        integral = jax.lax.optimization_barrier(integral_image_i32(img))
     return _describe_core(
         pat, img, integral, rows, cols, keypoints,
         row_base=None,
@@ -548,7 +695,16 @@ def _describe_core(
         # gather sampler clips per-tap and has no such constraint).
         assert patch_h <= rows + 1, (patch_h, rows)
 
-    if sampler == "patch":
+    if img.dtype == jnp.float32:
+        # 16-bit pipeline (scaled float image + float integral): float
+        # sampler regardless of the configured backend.
+        def sample(px, py):
+            return smoothed_intensity_f32(
+                img, integral, key_x, key_y, px, py, sigma,
+                4.0 * sigma * sigma,
+                row_base=row_base, frame_rows=rows,
+            )
+    elif sampler == "patch":
         from ethzasl_brisk_tpu.describe.fast_sampler import (
             smoothed_intensity_patch,
         )

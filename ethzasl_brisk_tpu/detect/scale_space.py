@@ -37,7 +37,12 @@ from ethzasl_brisk_tpu.detect.uniformity import (
     bucket_keypoints,
     enforce_uniformity,
 )
-from ethzasl_brisk_tpu.kernels.downsample import halfsample8, twothirdsample8
+from ethzasl_brisk_tpu.kernels.downsample import (
+    halfsample8,
+    halfsample16,
+    twothirdsample8,
+    twothirdsample16,
+)
 from ethzasl_brisk_tpu.kernels.harris import harris_score_i32
 from ethzasl_brisk_tpu.kernels.nms import maxima2d_mask
 
@@ -77,12 +82,21 @@ def layer_geometry(index: int) -> LayerGeometry:
 
 
 def build_pyramid(img: jnp.ndarray, n_layers: int) -> list[jnp.ndarray]:
-    """Layer images: [img, 2/3(img), 1/2(img), 1/2(layer1), ...]."""
+    """Layer images: [img, 2/3(img), 1/2(img), 1/2(layer1), ...].
+
+    Dispatches on dtype like the reference's ScaleSpaceLayer::Halfsample
+    / Twothirdsample (scale-space-layer-inl.h:445-470): uint8 and uint16
+    pipelines share the geometry, each with its own SIMD-exact sampler.
+    """
+    if img.dtype == jnp.uint16:
+        half, twothirds = halfsample16, twothirdsample16
+    else:
+        half, twothirds = halfsample8, twothirdsample8
     layers = [img]
     if n_layers > 1:
-        layers.append(twothirdsample8(img))
+        layers.append(twothirds(img))
     for i in range(2, n_layers):
-        layers.append(halfsample8(layers[i - 2]))
+        layers.append(half(layers[i - 2]))
     return layers
 
 
@@ -145,6 +159,48 @@ def warp_scores_split(
     w_lo = bilerp(s_lo)
     valid = okv[:, None] & oku[None, :]
     return jnp.where(valid, w_hi, 0), jnp.where(valid, w_lo, 0)
+
+
+def warp_scores_f32(
+    src_scores: jnp.ndarray,
+    affine: tuple[int, int, int],
+    dst_shape: tuple[int, int],
+) -> jnp.ndarray:
+    """Float bilinear warp of a neighbor layer's float score map.
+
+    The float-score pipeline analog of warp_scores_split
+    (HarrisScoreCalculatorFloat::Score semantics,
+    harris-score-calculator-float.h:57-74: truncated u_int, zero outside
+    bounds). Coordinates come from the same exact rationals; fractions
+    are evaluated in float32.
+    """
+    a, b, d = affine
+    rows, cols = src_scores.shape
+    h, w = dst_shape
+
+    def axis_terms(n, limit):
+        val = a * jnp.arange(n, dtype=jnp.int32) + b
+        i0 = _trunc_div(val, d)
+        frac = (val - i0 * d).astype(jnp.float32) / float(d)
+        ok = (i0 + 1 < limit) & (i0 >= 0)
+        return jnp.clip(i0, 0, limit - 2), frac, ok
+
+    u0, fu, oku = axis_terms(w, cols)
+    v0, fv, okv = axis_terms(h, rows)
+    s = src_scores
+    rows0 = jnp.take(s, v0, axis=0)
+    rows1 = jnp.take(s, v0 + 1, axis=0)
+    p00 = jnp.take(rows0, u0, axis=1)
+    p01 = jnp.take(rows0, u0 + 1, axis=1)
+    p10 = jnp.take(rows1, u0, axis=1)
+    p11 = jnp.take(rows1, u0 + 1, axis=1)
+    fu_ = fu[None, :]
+    fv_ = fv[:, None]
+    out = (1.0 - fv_) * ((1.0 - fu_) * p00 + fu_ * p01) + fv_ * (
+        (1.0 - fu_) * p10 + fu_ * p11
+    )
+    valid = okv[:, None] & oku[None, :]
+    return jnp.where(valid, out, 0.0)
 
 
 def center_ge_warped(
@@ -211,14 +267,32 @@ class DetectorConfig:
 def detect_keypoints(
     img: jnp.ndarray,
     config: DetectorConfig,
-    score_fn: Callable[[jnp.ndarray], jnp.ndarray] = harris_score_i32,
+    score_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> KeyPoints:
-    """Full scale-space detection on one uint8 image. Jit-compatible."""
+    """Full scale-space detection on one uint8/uint16 image.
+
+    uint8 uses the integer Harris path (bit-exact vs the reference's
+    HarrisScoresSSE); uint16 uses the float Harris path like the
+    reference's 16-bit pipeline (HarrisScoreCalculatorFloat accepts
+    CV_16U, harris-score-calculator-float.cc:115). Jit-compatible.
+    """
+    if score_fn is None:
+        if img.dtype == jnp.uint16:
+            from ethzasl_brisk_tpu.kernels.harris import harris_score_f32
+
+            score_fn = harris_score_f32
+        else:
+            score_fn = harris_score_i32
     n_layers = config.n_layers
     pyramid = build_pyramid(img, n_layers)
     geoms = [layer_geometry(i) for i in range(n_layers)]
     scores = [score_fn(im) for im in pyramid]
-    abs_thr = int(config.absolute_threshold)
+    is_float = jnp.issubdtype(scores[0].dtype, jnp.floating)
+    abs_thr = (
+        float(config.absolute_threshold)
+        if is_float
+        else int(config.absolute_threshold)
+    )
 
     per_layer: list[KeyPoints] = []
     for i in range(n_layers):
@@ -232,21 +306,36 @@ def detect_keypoints(
             # above layer at all 9 of (x+-1, y+-1) — 9 shifted compares
             # against the warped split maps (out-of-image probes read 0).
             a, b, d = geoms[i].above_map
-            w_hi, w_lo = warp_scores_split(scores[i + 1], (a, b, d), (h, w))
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    mask &= center_ge_warped(
-                        sc,
-                        _shift2d(w_hi, dy, dx, 0),
-                        _shift2d(w_lo, dy, dx, 0),
-                        d,
-                    )
+            if is_float:
+                wf = warp_scores_f32(scores[i + 1], (a, b, d), (h, w))
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        mask &= sc >= _shift2d(wf, dy, dx, 0.0)
+            else:
+                w_hi, w_lo = warp_scores_split(
+                    scores[i + 1], (a, b, d), (h, w)
+                )
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        mask &= center_ge_warped(
+                            sc,
+                            _shift2d(w_hi, dy, dx, 0),
+                            _shift2d(w_lo, dy, dx, 0),
+                            d,
+                        )
         if i > 0:
             # Check below: one_over_scale_below truncates to 0, so all 9
             # probes collapse to the single center sample.
             a, b, d = geoms[i].below_map
-            w_hi, w_lo = warp_scores_split(scores[i - 1], (a, b, d), (h, w))
-            mask &= center_ge_warped(sc, w_hi, w_lo, d)
+            if is_float:
+                mask &= sc >= warp_scores_f32(
+                    scores[i - 1], (a, b, d), (h, w)
+                )
+            else:
+                w_hi, w_lo = warp_scores_split(
+                    scores[i - 1], (a, b, d), (h, w)
+                )
+                mask &= center_ge_warped(sc, w_hi, w_lo, d)
 
         kps = _extract_layer_keypoints(sc, mask, geoms[i], config)
         per_layer.append(kps)
@@ -263,7 +352,10 @@ def _extract_layer_keypoints(
     h, w = sc.shape
     k = min(config.max_candidates, h * w)
 
-    masked = jnp.where(mask, sc, INT32_MIN)
+    sentinel = (
+        -jnp.inf if jnp.issubdtype(sc.dtype, jnp.floating) else INT32_MIN
+    )
+    masked = jnp.where(mask, sc, sentinel)
     top_scores, top_idx = jax.lax.top_k(masked.reshape(-1), k)
     ys = top_idx // w
     xs = top_idx % w
