@@ -969,6 +969,8 @@ def detect_ast_keypoints(
     max_candidates_per_layer: int = 2048,
     raw_cache_model: str = "emulated",
     suppress_scale_nonmaxima: bool = True,
+    passed_keypoints: KeyPoints | None = None,
+    lower_threshold: int = 10,
 ) -> KeyPoints:
     """Dense BRISK-AST detection. Returns fixed-capacity KeyPoints.
 
@@ -980,30 +982,53 @@ def detect_ast_keypoints(
     mode (brisk-scale-space.cc:133-170): per-layer 2-D maxima with
     subpixel refinement only, no cross-layer checks. (The reference's loop
     indexes agastPoints.at(0) for every layer — an evident upstream bug we
-    do not replicate; each layer processes its own candidates here.)"""
-    layers = build_ast_pyramid(img, octaves, threshold)
+    do not replicate; each layer processes its own candidates here.)
+
+    ``passed_keypoints`` is the usePassedKeypoints mode
+    (brisk-scale-space.cc:103-124): instead of detecting, every provided
+    keypoint is mapped into every layer (x/scale - offset, float bounds
+    check at 3..dim-3, then C float->int truncation), the 2-D maximum
+    check is skipped (perform_2d_nonMax=false, :97/:139), and the normal
+    refinement / 3-D suppression machinery runs on those candidates.
+    """
+    layers = build_ast_pyramid(img, octaves, threshold, lower=lower_threshold)
     n_layers = len(layers)
     t58 = agast5_8_score_map(layers[0].img) if n_layers > 1 else None
 
     cand = []
-    for layer in layers:
-        ys, xs = jnp.nonzero(
-            layer.corner, size=max_candidates_per_layer, fill_value=0
-        )
-        xs = xs.astype(jnp.int32)
-        ys = ys.astype(jnp.int32)
-        valid = (
-            jnp.arange(max_candidates_per_layer)
-            < jnp.sum(layer.corner.astype(jnp.int32))
-        )
-        cand.append((xs, ys, valid))
+    if passed_keypoints is not None:
+        for layer in layers:
+            h, w = layer.img.shape
+            lx = passed_keypoints.x / f32(layer.scale) - f32(layer.offset)
+            ly = passed_keypoints.y / f32(layer.scale) - f32(layer.offset)
+            ok = (
+                passed_keypoints.valid
+                & (lx >= 3) & (ly >= 3)
+                & (lx <= w - 3) & (ly <= h - 3)
+            )
+            cand.append((_trunc_i32(lx), _trunc_i32(ly), ok))
+    else:
+        for layer in layers:
+            ys, xs = jnp.nonzero(
+                layer.corner, size=max_candidates_per_layer, fill_value=0
+            )
+            xs = xs.astype(jnp.int32)
+            ys = ys.astype(jnp.int32)
+            valid = (
+                jnp.arange(max_candidates_per_layer)
+                < jnp.sum(layer.corner.astype(jnp.int32))
+            )
+            cand.append((xs, ys, valid))
 
     if not suppress_scale_nonmaxima:
         per_layer = []
         for i in range(n_layers):
             layer = layers[i]
             xs, ys, valid = cand[i]
-            is2d = is_max_2d(layer, xs, ys, raw_model="emulated")
+            if passed_keypoints is not None:
+                is2d = jnp.ones_like(valid)  # perform_2d_nonMax=false
+            else:
+                is2d = is_max_2d(layer, xs, ys, raw_model="emulated")
             patch = _patch33(
                 lambda xg, yg, la=layer: _cache_score(la, xg, yg), xs, ys
             )
@@ -1028,7 +1053,14 @@ def detect_ast_keypoints(
 
     aux = [(None, None, None)] * n_layers
     exact_is2d: list = [None] * n_layers
-    if raw_cache_model == "emulated":
+    if passed_keypoints is not None:
+        # usePassedKeypoints: IsMax2D skipped entirely; no cache-order
+        # machinery needed (the passed-mode score writes are plain cache
+        # warms, and the dense score maps already model them).
+        for i in range(n_layers):
+            exact_is2d[i] = jnp.ones_like(cand[i][2])
+        raw_cache_model = "exact"  # reuse the is2d_override plumbing
+    elif raw_cache_model == "emulated":
         pass1 = []
         for i in range(n_layers):
             xs, ys, valid = cand[i]

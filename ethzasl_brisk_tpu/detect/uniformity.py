@@ -80,7 +80,7 @@ def enforce_uniformity(
     cols: int,
     radius: float,
     max_num_kpt: int,
-    block: int = 128,
+    block: int = 256,
 ) -> jnp.ndarray:
     """Greedy uniformity mask over score-descending candidates.
 

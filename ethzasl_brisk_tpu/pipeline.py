@@ -216,46 +216,26 @@ class HarrisFeatureDetector:
 def compute_scale(
     detector: BriskFeatureDetector, img: jnp.ndarray, keypoints: KeyPoints
 ) -> KeyPoints:
-    """Re-score provided keypoints across the AST pyramid and assign the
-    best-responding scale.
+    """Re-detect provided keypoints through the AST scale space.
 
-    Functional equivalent of ``BriskFeatureDetector::ComputeScale``
-    (brisk-feature-detector.cc:87-92) + the usePassedKeypoints mode of
-    GetKeypoints (brisk-scale-space.cc:103-124): each keypoint is mapped
-    into every layer (x/scale - offset), scored there (threshold-1 OAST
-    score), and receives the size/response of its best layer. Keypoints
-    landing outside a layer's valid region score 0 there.
+    Exact ``BriskFeatureDetector::ComputeScale``
+    (brisk-feature-detector.cc:87-92): GetKeypoints in usePassedKeypoints
+    mode (brisk-scale-space.cc:103-124) with overwrite_lower_thres=0 —
+    every keypoint is mapped into every layer, the 2-D maximum check is
+    skipped, and the normal subpixel/3-D refinement machinery emits the
+    refined keypoints (one output slot per (keypoint, layer); a keypoint
+    surviving several layers appears once per layer, like the reference's
+    vector output).
     """
     from ethzasl_brisk_tpu.detect.ast_scale_space import (
-        _cache_score,
-        build_ast_pyramid,
-        K_BASIC_SIZE,
+        detect_ast_keypoints,
     )
 
-    layers = build_ast_pyramid(img, detector.octaves, detector.threshold)
-    f32 = jnp.float32
-    scores = []
-    sizes = []
-    for layer in layers:
-        lx = keypoints.x / f32(layer.scale) - f32(layer.offset)
-        ly = keypoints.y / f32(layer.scale) - f32(layer.offset)
-        xi = jnp.round(lx).astype(jnp.int32)
-        yi = jnp.round(ly).astype(jnp.int32)
-        scores.append(_cache_score(layer, xi, yi))
-        sizes.append(f32(K_BASIC_SIZE) * f32(layer.scale))
-    score_mat = jnp.stack(scores, axis=0)          # (L, K)
-    best = jnp.argmax(score_mat, axis=0)           # (K,)
-    best_score = jnp.max(score_mat, axis=0)
-    size = jnp.asarray(jnp.stack([jnp.full_like(keypoints.x, s)
-                                  for s in sizes]), f32)[
-        best, jnp.arange(keypoints.capacity)
-    ]
-    import dataclasses as _dc
-
-    return _dc.replace(
-        keypoints,
-        size=size,
-        response=best_score.astype(f32),
-        octave=best.astype(jnp.int32),
-        valid=keypoints.valid & (best_score > 0),
+    return detect_ast_keypoints(
+        img,
+        threshold=detector.threshold,
+        octaves=detector.octaves,
+        suppress_scale_nonmaxima=detector.suppress_scale_nonmaxima,
+        passed_keypoints=keypoints,
+        lower_threshold=0,
     )

@@ -123,3 +123,44 @@ def test_match_zero_outliers(test_data_dir, detector):
     err = np.linalg.norm(proj - p2, axis=1)
     assert matched.sum() > 100
     assert (err > 5.0).sum() == 0
+
+
+def test_compute_scale_passed_keypoints(img1, detector):
+    """usePassedKeypoints / ComputeScale: re-detecting the detector's own
+    output keypoints through the passed-keypoint path must reproduce them
+    (same refinement machinery; only the 2-D max check is skipped, which
+    the detector's own outputs pass by construction)."""
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.pipeline import compute_scale
+
+    image = jnp.asarray(img1[:480, :640])
+    det = detector._detect_jit(image)
+    v = np.asarray(det.valid)
+    n_in = int(v.sum())
+    assert n_in > 100
+
+    out = compute_scale(detector, image, det)
+    ov = np.asarray(out.valid)
+    pts_in = np.stack([np.asarray(det.x)[v], np.asarray(det.y)[v]], 1)
+    size_in = np.asarray(det.size)[v]
+    pts_out = np.stack([np.asarray(out.x)[ov], np.asarray(out.y)[ov]], 1)
+    size_out = np.asarray(out.size)[ov]
+
+    # Every input keypoint is reproduced nearby. The mapping into layer
+    # coords TRUNCATES (the reference's implicit float->int in
+    # GetAgastScore / the offs computation, brisk-scale-space.cc:117,
+    # brisk-layer.cc:110), so the re-detected candidate can sit one
+    # layer-pixel off — i.e. up to ~scale px in image coords — and
+    # subpixel/3D refinement then moves it further. ComputeScale is NOT
+    # an identity upstream either; require reproduction within ~2
+    # layer-pixels for the bulk of inputs.
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts_out)
+    d, j = tree.query(pts_in)
+    radius = 2.2 * size_in / 8.4  # ~2 layer-pixels, scale-aware
+    ok = d < np.maximum(radius, 2.0)
+    assert ok.mean() > 0.8, ok.mean()
+    # Output count is >= input (multi-layer outputs possible).
+    assert ov.sum() >= 0.6 * n_in
