@@ -705,6 +705,11 @@ def _describe_core(
                 row_base=row_base, frame_rows=rows,
             )
     elif sampler == "patch":
+        # (A fused two-phase variant — one patch slice serving both the
+        # orientation and rotated samplings, with the angle math inside
+        # the chunk loop — measured ~1.5x SLOWER: the in-chunk rotation-
+        # LUT gathers and per-chunk geometry cost more than the saved
+        # dynamic slices. Keep the two whole-array phases.)
         from ethzasl_brisk_tpu.describe.fast_sampler import (
             smoothed_intensity_patch,
         )
@@ -753,7 +758,12 @@ def _describe_core(
     pat_xr = pat.lut_x[scale_idx, theta]  # (K, P)
     pat_yr = pat.lut_y[scale_idx, theta]
     vals = sample(pat_xr, pat_yr)
+    return _pack_descriptor(pat, keypoints, angle, vals, valid)
 
+
+def _pack_descriptor(pat, keypoints, angle, vals, valid):
+    """384 short-pair comparisons -> 12 uint32 words LSB-first
+    (setDescriptorBits, brisk-descriptor-extractor.cc:538-564)."""
     bits = vals[:, pat.short_i] > vals[:, pat.short_j]  # (K, Sh)
     k = bits.shape[0]
     n_words = pat.descriptor_words

@@ -1,20 +1,17 @@
 """Alternative smoothed-intensity sampling: one-hot patch contraction.
 
 NOTE: with the pattern tables threaded as jit arguments (DevicePattern
-docs), the plain gather sampler is the fastest exact path on TPU
-(~240k frames/s measured); the historical slowness it was built to avoid
-was the closure-constant pathology, not the gathers. This backend is kept
-as an alternative access pattern (useful where gathers are genuinely slow
-and for MXU-heavy pipelines); it requires Precision.HIGHEST to stay
-bit-exact, which on v5e runs the f32 contraction at reduced rate.
+docs), the plain gather sampler is the fastest exact path on TPU for
+single images; the batched pipeline uses the patch path below (the flat
+stacked-frame gather path measured ~2.8x slower on the tunnel slice).
 
 It computes the *same values bit-exactly* with a patch-based pattern:
 
 1. one dynamic-slice integral patch per keypoint (PH x PW, int32),
    base-subtracted so every value fits float32 exactly
    (PH*PW*255 < 2^24);
-2. per (keypoint, point), the 5 row coords x 5 col coords needed by the
-   box/bilinear taps become one-hot vectors; the 25 taps are two
+2. per (keypoint, point), the 6 row coords x 6 col coords needed by the
+   box/bilinear taps become one-hot vectors; the 36 taps are two
    separable contractions: rows = onehot_r @ patch (MXU), taps =
    rows * onehot_c reduced over columns (VPU);
 3. raw image pixels are reconstructed from integral taps
@@ -40,49 +37,29 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _trunc_i32(x):
     return jnp.trunc(x).astype(jnp.int32)
 
 
-def smoothed_intensity_patch(
-    img: jnp.ndarray,          # (H, W) uint8 (unused; kept for API parity)
-    integral: jnp.ndarray,     # (H+1, W+1) int32
-    key_x: jnp.ndarray,        # (K,) f32
-    key_y: jnp.ndarray,        # (K,) f32
-    pat_x: jnp.ndarray,        # (K, P) f32
-    pat_y: jnp.ndarray,        # (K, P) f32
-    pat_sigma: jnp.ndarray,    # (K, P) f32
-    pat_scaling: jnp.ndarray,  # (K, P) i32
-    pat_scaling2: jnp.ndarray,  # (K, P) i32
-    patch_h: int = 128,
-    patch_w: int = 192,
-    chunk: int = 64,
-    row_base: jnp.ndarray | None = None,  # (K,) i32 stacked-frame row shift
-    frame_rows: int | None = None,        # frame-local image height
-) -> jnp.ndarray:
-    """Reference-exact smoothed intensities, (K, P) int32.
+def _trunc_div(val, d):
+    return jnp.where(val >= 0, val // d, -((-val) // d))
 
-    ``row_base``/``frame_rows`` support the stacked-frame batch layout
-    (extractor.extract_descriptors_batch): key_y and ALL tap coordinates
-    stay frame-local; only the patch's dynamic-slice row anchor is
-    shifted by ``row_base``. The anchor is clamped inside the frame's
-    (frame_rows+1)-row integral block, so each patch is one frame's
-    rectangle (base-subtracted values stay < 2^24, hence float32-exact),
-    and fractional weights are bit-identical to the per-frame path.
+
+def _tap_geometry(key_x, key_y, pat_x, pat_y, pat_sigma):
+    """Per-(keypoint, point) tap coordinates + box weight precursors.
+
+    Returns a dict with the 6-wide row/col integral coordinate grids and
+    every quantity the value reconstruction needs (exact reference
+    arithmetic, brisk-descriptor-extractor.cc:412-433).
     """
-    rows_i, cols_i = integral.shape
-    if frame_rows is not None:
-        rows_i = frame_rows + 1  # frame-local integral rows
-    k, p = pat_x.shape
-
-    xf = pat_x + key_x[:, None]
-    yf = pat_y + key_y[:, None]
+    xf = pat_x + key_x[..., None]
+    yf = pat_y + key_y[..., None]
     sigma_half = pat_sigma
     small = sigma_half < 0.5
 
-    # ---- Box-path coordinates (exact reference arithmetic).
     x_1 = xf - sigma_half
     x1 = xf + sigma_half
     y_1 = yf - sigma_half
@@ -92,26 +69,9 @@ def smoothed_intensity_patch(
     x_right = _trunc_i32(x1 + 0.5)
     y_bottom = _trunc_i32(y1 + 0.5)
 
-    # ---- Small-path coordinates.
     x_i = _trunc_i32(xf)
     y_i = _trunc_i32(yf)
 
-    # ---- Tap row/col coordinate sets (5 each), in integral-image space.
-    # Box needs I at rows {y_top, y_top+1, y_bottom, y_bottom+1} and the
-    # skewed-corner row y_bottom-1+1 = y_bottom (img row r needs I rows
-    # r, r+1). Image pixels required:
-    #   corners: (y_top, x_left), (y_top, x_right) and, per the dx+dy>2
-    #   walk, (cd_y, c_x), (cd_y, d_x) with cd_y in {y_bottom-1, y_bottom},
-    #   c_x in {x_right+1, x_right}, d_x in {x_left+1, x_left}
-    #   -> I rows {y_top, y_top+1, y_bottom-1, y_bottom, y_bottom+1}
-    #   -> I cols {x_left, x_left+1, x_right, x_right+1, x_right+2} and
-    #      also x_left+2 for d_x=x_left+1... use per-case col sets below.
-    # Small path: img bilinear at (y_i..y_i+1, x_i..x_i+1)
-    #   -> I rows {y_i, y_i+1, y_i+2}, cols {x_i, x_i+1, x_i+2}.
-    #
-    # To keep a single 5x5 tap grid per (k, p): select the coordinate sets
-    # per-element between box and small cases (the 25 gathered taps are
-    # whatever that case needs).
     dx_i = x_right - x_left - 1
     dy_i = y_bottom - y_top - 1
     big = dx_i + dy_i > 2
@@ -119,150 +79,80 @@ def smoothed_intensity_patch(
     c_x = jnp.where(big, x_right + 1, x_right)
     d_x = jnp.where(big, x_left + 1, x_left)
 
-    # Row coordinate set (5): box {y_top, y_top+1, cd_y, cd_y+1,
-    # y_bottom(+1 covers taps)} — we need I rows: y_top, y_top+1 (corner
-    # A/B + upper taps), y_bottom, y_bottom+1 (t5..t10), cd_y, cd_y+1
-    # (corner C/D images). cd_y is y_bottom or y_bottom-1; when
-    # y_bottom-1 == y_top+1 overlaps happen — 5 slots suffice:
-    rows_box = jnp.stack(
-        [y_top, y_top + 1, cd_y, y_bottom, y_bottom + 1], -1
-    )  # (K, P, 5)
-    rows_small = jnp.stack(
-        [y_i, y_i + 1, y_i + 2, y_i, y_i], -1
-    )
-    row_coords = jnp.where(small[..., None], rows_small, rows_box)
-
-    cols_box = jnp.stack(
-        [x_left, x_left + 1, jnp.minimum(d_x + 1, x_right),
-         x_right, x_right + 1], -1
-    )
-    cols_small = jnp.stack([x_i, x_i + 1, x_i + 2, x_i, x_i], -1)
-    col_coords = jnp.where(small[..., None], cols_small, cols_box)
-    # The C-corner image pixel needs I cols c_x, c_x+1 = x_right(+1), +2.
-    # Add c_x+1 by replacing a redundant slot: slot 2 duplicates d_x+1
-    # which for big is x_left+2... we need BOTH d_x+1 and c_x+1. Use a
-    # 6-wide col grid instead.
-    cols_box6 = jnp.stack(
-        [x_left, x_left + 1, d_x + 1, x_right, x_right + 1, c_x + 1], -1
-    )
-    cols_small6 = jnp.stack(
-        [x_i, x_i + 1, x_i + 2, x_i, x_i, x_i], -1
-    )
-    col_coords = jnp.where(small[..., None], cols_small6, cols_box6)
-
-    # Rows also need cd_y+1 for the C/D image pixels; make rows 6-wide.
+    # 6-wide integral-space tap grids (see reconstruction indices below).
     rows_box6 = jnp.stack(
         [y_top, y_top + 1, cd_y, cd_y + 1, y_bottom, y_bottom + 1], -1
     )
-    rows_small6 = jnp.stack(
-        [y_i, y_i + 1, y_i + 2, y_i, y_i, y_i], -1
-    )
+    rows_small6 = jnp.stack([y_i, y_i + 1, y_i + 2, y_i, y_i, y_i], -1)
     row_coords = jnp.where(small[..., None], rows_small6, rows_box6)
 
-    # ---- Patch anchors.
-    ax = jnp.clip(
-        _trunc_i32(key_x) - patch_w // 2, 0, max(cols_i - patch_w, 0)
-    )  # (K,)
-    # Frame-local anchor (rows_i is the per-frame integral height here).
-    ay = jnp.clip(
-        _trunc_i32(key_y) - patch_h // 2, 0, max(rows_i - patch_h, 0)
+    cols_box6 = jnp.stack(
+        [x_left, x_left + 1, d_x + 1, x_right, x_right + 1, c_x + 1], -1
+    )
+    cols_small6 = jnp.stack([x_i, x_i + 1, x_i + 2, x_i, x_i, x_i], -1)
+    col_coords = jnp.where(small[..., None], cols_small6, cols_box6)
+
+    return dict(
+        xf=xf, yf=yf, small=small, big=big,
+        x_1=x_1, x1=x1, y_1=y_1, y1=y1,
+        x_left=x_left, y_top=y_top, x_right=x_right, y_bottom=y_bottom,
+        x_i=x_i, y_i=y_i,
+        row_coords=row_coords, col_coords=col_coords,
     )
 
-    rel_rows = jnp.clip(row_coords - ay[:, None, None], 0, patch_h - 1)
-    rel_cols = jnp.clip(col_coords - ax[:, None, None], 0, patch_w - 1)
-    if row_base is not None:
-        ay = ay + row_base  # absolute slice anchor in the stacked integral
 
-    # ---- Chunked one-hot contraction.
-    pad_k = (-k) % chunk
-    n_chunks = (k + pad_k) // chunk
+def _contract_taps(patches, rel_rows, rel_cols, patch_h, patch_w):
+    """One-hot separable contraction: (c, PH, PW) patches x (c, p, 6)
+    relative coords -> (c, p, 6, 6) int32 tap grid."""
+    c, p = rel_rows.shape[0], rel_rows.shape[1]
+    iota_h = jnp.arange(patch_h, dtype=jnp.int32)
+    iota_w = jnp.arange(patch_w, dtype=jnp.int32)
+    oh_r = (rel_rows[..., None] == iota_h).astype(jnp.float32)
+    oh_c = (rel_cols[..., None] == iota_w).astype(jnp.float32)
 
-    def pad0(a, value=0):
-        return jnp.pad(
-            a, [(0, pad_k)] + [(0, 0)] * (a.ndim - 1),
-            constant_values=value,
-        )
+    rows = jax.lax.dot_general(
+        oh_r.reshape(c, p * 6, patch_h),
+        patches,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        # HIGHEST: TPU matmuls otherwise cast inputs to bfloat16 and
+        # truncate the integral values (8-bit mantissa).
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(c, p, 6, patch_w)
+    taps = jnp.einsum(
+        "cpiw,cpjw->cpij", rows, oh_c,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return taps.astype(jnp.int32)  # exact ints < 2^24
 
-    ax_p = pad0(ax)
-    ay_p = pad0(ay)
-    rr = pad0(rel_rows).reshape(n_chunks, chunk, p, 6)
-    rc = pad0(rel_cols).reshape(n_chunks, chunk, p, 6)
-    ax_c = ax_p.reshape(n_chunks, chunk)
-    ay_c = ay_p.reshape(n_chunks, chunk)
 
-    integral_f = integral  # int32; sliced per keypoint below
+def _values_from_taps(taps, g, pat_scaling, pat_scaling2):
+    """Reconstruct smoothed intensities from the (.., p, 6, 6) tap grid.
 
-    def do_chunk(args):
-        axk, ayk, rrk, rck = args  # (chunk,), (chunk,), (chunk,p,6), ...
+    Grid indices: rows 0=y_top 1=y_top+1 2=cd_y 3=cd_y+1 4=y_bottom
+    5=y_bottom+1; cols 0=x_left 1=x_left+1 2=d_x+1 3=x_right 4=x_right+1
+    5=c_x+1 (small path uses rows/cols 0..2).
+    """
+    big = g["big"]
 
-        def get_patch(a_x, a_y):
-            pat = jax.lax.dynamic_slice(
-                integral_f, (a_y, a_x), (patch_h, patch_w)
-            )
-            # Subtract the separable field I[ay, x] + I[y, ax] - I[ay, ax]:
-            # every tap group is a second difference (invariant), and the
-            # anchored values become patch-local rectangle sums
-            # < PH*PW*255 < 2^24, hence float32-exact.
-            anchored = pat - pat[0:1, :] - pat[:, 0:1] + pat[0, 0]
-            return anchored.astype(jnp.float32)
-
-        patches = jax.vmap(get_patch)(axk, ayk)  # (chunk, PH, PW) f32
-
-        # One-hots.
-        iota_h = jnp.arange(patch_h, dtype=jnp.int32)
-        iota_w = jnp.arange(patch_w, dtype=jnp.int32)
-        oh_r = (rrk[..., None] == iota_h).astype(jnp.float32)
-        # (chunk, p, 6, PH)
-        oh_c = (rck[..., None] == iota_w).astype(jnp.float32)
-        # (chunk, p, 6, PW)
-
-        rows = jax.lax.dot_general(
-            oh_r.reshape(chunk, p * 6, patch_h),
-            patches,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            # HIGHEST: TPU matmuls otherwise cast inputs to bfloat16 and
-            # truncate the integral values (8-bit mantissa).
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (chunk, p*6, PW)
-        rows = rows.reshape(chunk, p, 6, patch_w)
-        # taps[c, p, i, j] = sum_w rows[c, p, i, w] * oh_c[c, p, j, w]
-        taps = jnp.einsum(
-            "cpiw,cpjw->cpij", rows, oh_c,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return taps  # (chunk, p, 6, 6) f32 — exact ints < 2^24
-
-    taps = jax.lax.map(do_chunk, (ax_c, ay_c, rr, rc))
-    taps = taps.reshape(n_chunks * chunk, p, 6, 6)[:k].astype(jnp.int32)
-
-    # ---- Reconstruct values. Integral tap grid indices:
-    # rows: 0=y_top 1=y_top+1 2=cd_y 3=cd_y+1 4=y_bottom 5=y_bottom+1
-    # cols: 0=x_left 1=x_left+1 2=d_x+1 3=x_right 4=x_right+1 5=c_x+1
     def it(ri, ci):
         return taps[..., ri, ci]
 
-    # Image pixels img[y, x] = I[y+1, x+1] - I[y, x+1] - I[y+1, x] + I[y, x].
-    img_a = it(1, 1) - it(0, 1) - it(1, 0) + it(0, 0)       # (y_top, x_left)
-    img_b = it(1, 4) - it(0, 4) - it(1, 3) + it(0, 3)       # (y_top, x_right)
-    # C at (cd_y, c_x): I rows cd_y..cd_y+1, cols c_x..c_x+1 = cols 4?,5.
-    # c_x is x_right+1 when big else x_right -> I col c_x = col 4 when big
-    # else col 3; c_x+1 = col 5 always.
+    # Image pixels img[y, x] = I[y+1,x+1] - I[y,x+1] - I[y+1,x] + I[y,x].
+    img_a = it(1, 1) - it(0, 1) - it(1, 0) + it(0, 0)     # (y_top, x_left)
+    img_b = it(1, 4) - it(0, 4) - it(1, 3) + it(0, 3)     # (y_top, x_right)
     c_col0 = jnp.where(big, it(3, 4), it(3, 3))
     c_col0_top = jnp.where(big, it(2, 4), it(2, 3))
-    img_c = it(3, 5) - it(2, 5) - c_col0 + c_col0_top       # (cd_y, c_x)
-    # D at (cd_y, d_x): d_x = x_left+1 when big else x_left -> I col d_x =
-    # col 1 when big else 0; d_x+1 = col 2 always.
+    img_c = it(3, 5) - it(2, 5) - c_col0 + c_col0_top     # (cd_y, c_x)
     d_col0 = jnp.where(big, it(3, 1), it(3, 0))
     d_col0_top = jnp.where(big, it(2, 1), it(2, 0))
-    img_d = it(3, 2) - it(2, 2) - d_col0 + d_col0_top       # (cd_y, d_x)
+    img_d = it(3, 2) - it(2, 2) - d_col0 + d_col0_top     # (cd_y, d_x)
 
-    # Box-path weights (identical to the gather path).
-    r_x_1f = x_left.astype(jnp.float32) - x_1 + 0.5
-    r_y_1f = y_top.astype(jnp.float32) - y_1 + 0.5
-    r_x1f = x1 - x_right.astype(jnp.float32) + 0.5
-    r_y1f = y1 - y_bottom.astype(jnp.float32) + 0.5
+    r_x_1f = g["x_left"].astype(jnp.float32) - g["x_1"] + 0.5
+    r_y_1f = g["y_top"].astype(jnp.float32) - g["y_1"] + 0.5
+    r_x1f = g["x1"] - g["x_right"].astype(jnp.float32) + 0.5
+    r_y1f = g["y1"] - g["y_bottom"].astype(jnp.float32) + 0.5
     scf = pat_scaling.astype(jnp.float32)
     w_a = _trunc_i32(r_x_1f * r_y_1f * scf)
     w_b = _trunc_i32(r_x1f * r_y_1f * scf)
@@ -297,19 +187,114 @@ def smoothed_intensity_patch(
     scaling2 = jnp.maximum(pat_scaling2, 1)
     box = total // scaling2
 
-    # ---- Small-sigma bilinear: rows {y_i, y_i+1, y_i+2} = grid rows
-    # 0..2, cols {x_i, x_i+1, x_i+2} = grid cols 0..2 (small case).
-    s00 = it(1, 1) - it(0, 1) - it(1, 0) + it(0, 0)   # img[y_i, x_i]
-    s01 = it(1, 2) - it(0, 2) - it(1, 1) + it(0, 1)   # img[y_i, x_i+1]
-    s10 = it(2, 1) - it(1, 1) - it(2, 0) + it(1, 0)   # img[y_i+1, x_i]
-    s11 = it(2, 2) - it(1, 2) - it(2, 1) + it(1, 1)   # img[y_i+1, x_i+1]
-    r_x = _trunc_i32((xf - x_i.astype(jnp.float32)) * 1024)
-    r_y = _trunc_i32((yf - y_i.astype(jnp.float32)) * 1024)
-    r_x_1 = 1024 - r_x
-    r_y_1 = 1024 - r_y
+    # Small-sigma bilinear: grid rows/cols 0..2.
+    s00 = it(1, 1) - it(0, 1) - it(1, 0) + it(0, 0)
+    s01 = it(1, 2) - it(0, 2) - it(1, 1) + it(0, 1)
+    s10 = it(2, 1) - it(1, 1) - it(2, 0) + it(1, 0)
+    s11 = it(2, 2) - it(1, 2) - it(2, 1) + it(1, 1)
+    r_x = _trunc_i32((g["xf"] - g["x_i"].astype(jnp.float32)) * 1024)
+    r_y = _trunc_i32((g["yf"] - g["y_i"].astype(jnp.float32)) * 1024)
     small_val = (
-        r_x_1 * r_y_1 * s00 + r_x * r_y_1 * s01
-        + r_x * r_y * s11 + r_x_1 * r_y * s10
+        (1024 - r_x) * (1024 - r_y) * s00 + r_x * (1024 - r_y) * s01
+        + r_x * r_y * s11 + (1024 - r_x) * r_y * s10
     ) // 1024
 
-    return jnp.where(small, small_val, box)
+    return jnp.where(g["small"], small_val, box)
+
+
+def _patch_anchors(key_x, key_y, rows_i, cols_i, patch_h, patch_w,
+                   row_base):
+    """Frame-local patch anchors (+ absolute slice anchor)."""
+    ax = jnp.clip(
+        _trunc_i32(key_x) - patch_w // 2, 0, max(cols_i - patch_w, 0)
+    )
+    ay = jnp.clip(
+        _trunc_i32(key_y) - patch_h // 2, 0, max(rows_i - patch_h, 0)
+    )
+    ay_abs = ay if row_base is None else ay + row_base
+    return ax, ay, ay_abs
+
+
+def _slice_patches(integral, axk, ayk, patch_h, patch_w):
+    """(chunk,) anchors -> (chunk, PH, PW) f32 base-subtracted patches.
+
+    Subtract the separable field I[ay, x] + I[y, ax] - I[ay, ax]: every
+    tap group is a second difference (invariant), and the anchored
+    values become patch-local rectangle sums < PH*PW*255 < 2^24, hence
+    float32-exact. (vmapped dynamic_slice; an advanced-index gather
+    variant measured ~30x SLOWER on TPU.)
+    """
+
+    def get_patch(a_x, a_y):
+        pat = jax.lax.dynamic_slice(
+            integral, (a_y, a_x), (patch_h, patch_w)
+        )
+        anchored = pat - pat[0:1, :] - pat[:, 0:1] + pat[0, 0]
+        return anchored.astype(jnp.float32)
+
+    return jax.vmap(get_patch)(axk, ayk)
+
+
+def _rel(coords, anchor, limit):
+    return jnp.clip(coords - anchor[:, None, None], 0, limit - 1)
+
+
+def smoothed_intensity_patch(
+    img: jnp.ndarray,          # (H, W) uint8 (unused; kept for API parity)
+    integral: jnp.ndarray,     # (H+1, W+1) int32
+    key_x: jnp.ndarray,        # (K,) f32
+    key_y: jnp.ndarray,        # (K,) f32
+    pat_x: jnp.ndarray,        # (K, P) f32
+    pat_y: jnp.ndarray,        # (K, P) f32
+    pat_sigma: jnp.ndarray,    # (K, P) f32
+    pat_scaling: jnp.ndarray,  # (K, P) i32
+    pat_scaling2: jnp.ndarray,  # (K, P) i32
+    patch_h: int = 128,
+    patch_w: int = 192,
+    chunk: int = 128,
+    row_base: jnp.ndarray | None = None,  # (K,) i32 stacked-frame row shift
+    frame_rows: int | None = None,        # frame-local image height
+) -> jnp.ndarray:
+    """Reference-exact smoothed intensities, (K, P) int32.
+
+    ``row_base``/``frame_rows`` support the stacked-frame batch layout
+    (extractor.extract_descriptors_batch): key_y and ALL tap coordinates
+    stay frame-local; only the patch's dynamic-slice row anchor is
+    shifted by ``row_base``. The anchor is clamped inside the frame's
+    (frame_rows+1)-row integral block, so each patch is one frame's
+    rectangle (base-subtracted values stay < 2^24, hence float32-exact),
+    and fractional weights are bit-identical to the per-frame path.
+    """
+    rows_i, cols_i = integral.shape
+    if frame_rows is not None:
+        rows_i = frame_rows + 1  # frame-local integral rows
+    k, p = pat_x.shape
+
+    g = _tap_geometry(key_x, key_y, pat_x, pat_y, pat_sigma)
+    ax, ay, ay_abs = _patch_anchors(
+        key_x, key_y, rows_i, cols_i, patch_h, patch_w, row_base
+    )
+    rel_rows = _rel(g["row_coords"], ay, patch_h)
+    rel_cols = _rel(g["col_coords"], ax, patch_w)
+
+    # ---- Chunked one-hot contraction.
+    pad_k = (-k) % chunk
+    n_chunks = (k + pad_k) // chunk
+
+    def pad0(a):
+        return jnp.pad(a, [(0, pad_k)] + [(0, 0)] * (a.ndim - 1))
+
+    ax_c = pad0(ax).reshape(n_chunks, chunk)
+    ay_c = pad0(ay_abs).reshape(n_chunks, chunk)
+    rr = pad0(rel_rows).reshape(n_chunks, chunk, p, 6)
+    rc = pad0(rel_cols).reshape(n_chunks, chunk, p, 6)
+
+    def do_chunk(args):
+        axk, ayk, rrk, rck = args
+        patches = _slice_patches(integral, axk, ayk, patch_h, patch_w)
+        return _contract_taps(patches, rrk, rck, patch_h, patch_w)
+
+    taps = jax.lax.map(do_chunk, (ax_c, ay_c, rr, rc))
+    taps = taps.reshape(n_chunks * chunk, p, 6, 6)[:k]
+
+    return _values_from_taps(taps, g, pat_scaling, pat_scaling2)

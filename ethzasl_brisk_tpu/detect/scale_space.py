@@ -301,6 +301,7 @@ def detect_keypoints(
     )
 
     per_layer: list[KeyPoints] = []
+    masks: list[jnp.ndarray] = []
     for i in range(n_layers):
         sc = scores[i]
         h, w = sc.shape
@@ -343,21 +344,35 @@ def detect_keypoints(
                 )
                 mask &= center_ge_warped(sc, w_hi, w_lo, d)
 
-        kps = _extract_layer_keypoints(sc, mask, geoms[i], config)
+        masks.append(mask)
+
+    # Candidate extraction + uniformity per layer. (A single
+    # layer-batched vmapped uniformity call measured NO faster: the
+    # batched while_loop convoys on the max trip count across lanes,
+    # eating the 4x step reduction — NOTES.md dead ends.)
+    cands = []
+    for i in range(n_layers):
+        cands.append(_layer_candidates(scores[i], masks[i], config))
+    accepts = [
+        _layer_accept(cands[i], scores[i].shape, config)
+        for i in range(n_layers)
+    ]
+
+    for i in range(n_layers):
+        xs, ys, top_scores, valid = cands[i]
+        kps = _refine_layer_keypoints(
+            scores[i], xs, ys, top_scores, valid, accepts[i], geoms[i],
+            config,
+        )
         per_layer.append(kps)
 
     return KeyPoints.concatenate(per_layer)
 
 
-def _extract_layer_keypoints(
-    sc: jnp.ndarray,
-    mask: jnp.ndarray,
-    geom: LayerGeometry,
-    config: DetectorConfig,
-) -> KeyPoints:
+def _layer_candidates(sc, mask, config):
+    """Score-descending candidate list: (xs, ys, scores, valid)."""
     h, w = sc.shape
     k = min(config.max_candidates, h * w)
-
     sentinel = (
         -jnp.inf if jnp.issubdtype(sc.dtype, jnp.floating) else INT32_MIN
     )
@@ -370,29 +385,34 @@ def _extract_layer_keypoints(
     ys = top_idx // w
     xs = top_idx % w
     valid = jnp.take(mask.reshape(-1), top_idx)
+    return xs, ys, top_scores, valid
 
+
+def _layer_accept(cand, shape, config):
+    xs, ys, top_scores, valid = cand
+    h, w = shape
+    k = xs.shape[0]
     if config.uniformity_radius > 0.0:
-        accept = enforce_uniformity(
-            xs,
-            ys,
-            top_scores,
-            valid,
-            rows=h,
-            cols=w,
+        return enforce_uniformity(
+            xs, ys, top_scores, valid, rows=h, cols=w,
             radius=float(config.uniformity_radius),
             max_num_kpt=min(config.max_num_kpt, k),
         )
-    else:
-        accept = bucket_keypoints(
-            xs,
-            ys,
-            valid,
-            rows=h,
-            cols=w,
-            max_num_kpt=min(config.max_num_kpt, k),
-            num_buckets_u=1,
-            num_buckets_v=1,
-        )
+    return bucket_keypoints(
+        xs, ys, valid, rows=h, cols=w,
+        max_num_kpt=min(config.max_num_kpt, k),
+        num_buckets_u=1, num_buckets_v=1,
+    )
+
+
+def _refine_layer_keypoints(
+    sc: jnp.ndarray,
+    xs, ys, top_scores, valid, accept,
+    geom: LayerGeometry,
+    config: DetectorConfig,
+) -> KeyPoints:
+    h, w = sc.shape
+    k = xs.shape[0]
 
     # Sub-pixel refinement on every candidate (masked later): gather the
     # 3x3 patch around each; patch[a, b] = Score(x+b-1, y+a-1), matching the

@@ -40,7 +40,7 @@ def timed(name, fn, *args, iters=5, checksum=None):
     import jax.numpy as jnp
 
     fn_j = jax.jit(fn)
-    for _ in range(2):
+    for _ in range(4):
         out = fn_j(*args)
         leaves = [
             x for x in jax.tree_util.tree_leaves(out)
@@ -138,8 +138,16 @@ def main():
     timed("0.x detect (no uniformity)", detect_nou_fn, frames, iters=iters)
     time.sleep(2)
 
-    # --- detection output for the describe stage
-    kx, ky, kresp, kvalid = jax.jit(detect_fn)(frames)
+    # --- detection output for the describe stage (capped like the real
+    # pipeline: BriskFeature.detect top_k's to max_keypoints).
+    def detect_capped_fn(fr):
+        def one(img):
+            kps = feature.detect(img)
+            return kps.x, kps.y, kps.response, kps.valid
+
+        return jax.vmap(one)(fr)
+
+    kx, ky, kresp, kvalid = jax.jit(detect_capped_fn)(frames)
     n_valid = np.asarray(jnp.sum(kvalid, axis=1))
     print(f"valid keypoints/frame: min {n_valid.min()} max {n_valid.max()} "
           f"mean {n_valid.mean():.0f}", flush=True)
@@ -159,18 +167,21 @@ def main():
 
     pattern = feature.extractor.pattern
 
-    def describe_fn(pat, fr, x, y, resp, valid):
-        def one(img, xx, yy, rr, vv):
-            kps = mk_kps(xx, yy, rr, vv)
-            _, desc = extract_descriptors(pat, img, kps)
-            return desc
+    from ethzasl_brisk_tpu.describe.extractor import (
+        extract_descriptors_batch,
+    )
 
-        return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(fr, x, y, resp, valid)
+    def describe_fn(pat, fr, x, y, resp, valid):
+        kps = jax.vmap(mk_kps)(x, y, resp, valid)
+        _, desc = extract_descriptors_batch(
+            pat, fr, kps, sampler="patch", patch_h=128, patch_w=128,
+        )
+        return desc
 
     # NOTE: the pattern pytree must be a runtime ARGUMENT of the jitted
     # callee — closing over it makes it a constant (~2000x slower).
     timed(
-        "1.x describe (gather sampler)",
+        "1.x describe (flat batch, patch sampler)",
         describe_fn, pattern, frames, kx, ky, kresp, kvalid, iters=iters,
     )
     time.sleep(2)
