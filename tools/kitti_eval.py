@@ -78,6 +78,11 @@ def main():
     ap.add_argument("--no-refine", action="store_true",
                     help="disable GN relative-pose refinement")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="orbax checkpoint dir; resumes from the latest "
+                         "step if one exists (failure recovery)")
+    ap.add_argument("--checkpoint-every", type=int, default=10,
+                    help="checkpoint every N keyframes")
     args = ap.parse_args()
 
     import jax
@@ -139,6 +144,24 @@ def main():
     poses = [np.eye(4)]                 # world-from-camera per frame
     kf = []                             # keyframe records
     n_ba_runs = 0
+    start_frame = 0
+    ckpt_mgr = None
+    if args.checkpoint_dir:
+        from ethzasl_brisk_tpu.utils.checkpoint import (
+            CheckpointManager,
+            pack_vo_loop_state,
+            unpack_vo_loop_state,
+        )
+
+        ckpt_mgr = CheckpointManager(args.checkpoint_dir)
+        saved, step = ckpt_mgr.restore_latest()
+        if saved is not None:
+            poses, start_frame, key, prev0, kf, n_ba_runs = (
+                unpack_vo_loop_state(saved)
+            )
+            print(f"resumed from step {step}: frame {start_frame}, "
+                  f"{len(poses)} poses, {len(kf)} tail keyframes",
+                  flush=True)
 
     def to_cfw(pose_wfc):
         """world-from-camera 4x4 -> camera-from-world (R, t)."""
@@ -147,7 +170,30 @@ def main():
         return r, t
 
     prev = None
+    if args.checkpoint_dir and start_frame > 0:
+        prev = prev0
+    n_kf_total = len(kf)
+    last_saved_kf = n_kf_total
     for i, frame in enumerate(frames):
+        if i < start_frame:
+            continue
+        # Crash-consistent checkpoint: the state at the TOP of iteration
+        # i reflects every effect of frames < i (incl. their window BA).
+        if (
+            ckpt_mgr is not None
+            and n_kf_total - last_saved_kf >= args.checkpoint_every
+            and prev is not None
+            and kf
+        ):
+            ckpt_mgr.save(
+                i,
+                pack_vo_loop_state(
+                    poses=poses, frame_idx=i, key=key, prev=prev,
+                    kf=kf, window=args.window, n_frames=len(frames),
+                    n_ba_runs=n_ba_runs,
+                ),
+            )
+            last_saved_kf = n_kf_total
         cur = vo.process_frame(jnp.asarray(frame))
         if prev is not None:
             key, sub = jax.random.split(key)
@@ -208,6 +254,7 @@ def main():
                 match_to_prev=pair_match,
             )
         )
+        n_kf_total += 1
 
         # --- window BA over the last W keyframes.
         if args.no_ba or len(kf) < 3:
@@ -256,6 +303,8 @@ def main():
         for f in range(win_frames[-1] + 1, len(poses)):
             poses[f] = corr @ poses[f]
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     positions = np.stack([p[:3, 3] for p in poses])
     result = dict(
         frames=len(frames),
