@@ -412,7 +412,6 @@ def _refine_layer_keypoints(
     config: DetectorConfig,
 ) -> KeyPoints:
     h, w = sc.shape
-    k = xs.shape[0]
 
     # Sub-pixel refinement on every candidate (masked later): gather the
     # 3x3 patch around each; patch[a, b] = Score(x+b-1, y+a-1), matching the
@@ -423,16 +422,39 @@ def _refine_layer_keypoints(
         yi = jnp.clip(y[:, None] + dx[None, :], 0, h - 1)
         return sc[yi[:, :, None], xi[:, None, :]]  # (K, 3y, 3x)
 
+    return refine_from_patches(
+        gather_patch(xs, ys), xs, ys, top_scores, accept, geom, config
+    )
+
+
+def refine_from_patches(
+    patches, xs, ys, top_scores, accept,
+    geom: LayerGeometry,
+    config: DetectorConfig,
+) -> KeyPoints:
+    """Sub-pixel refine + coordinate un-mapping from pre-gathered 3x3
+    score patches (shared by the dense and tile-sharded paths).
+
+    The float chain is fenced with ``optimization_barrier`` so XLA
+    compiles the identical subgraph identically in every surrounding jit
+    context (dense jit vs shard_map) — without the fences, fusion-
+    context-dependent FMA contraction flips the last ULP of x/y between
+    the two paths (NOTES "jitted-vs-eager ULP").
+    """
+    k = xs.shape[0]
     rdt = jnp.dtype(config.refine_dtype)
-    patches = gather_patch(xs, ys).astype(rdt)
+    patches, xs_b, ys_b = jax.lax.optimization_barrier(
+        (patches.astype(rdt), xs, ys)
+    )
     delta_x, delta_y, _ = subpixel2d(patches)
 
     # KeyPointX = _scale * ((x + delta_x) + _offset) in double, stored float
     # (scale-space-layer-inl.h:405-406).
     scale = jnp.asarray(geom.scale, rdt)
     offset = jnp.asarray(geom.offset, rdt)
-    fx = (scale * ((xs.astype(rdt) + delta_x) + offset)).astype(jnp.float32)
-    fy = (scale * ((ys.astype(rdt) + delta_y) + offset)).astype(jnp.float32)
+    fx = (scale * ((xs_b.astype(rdt) + delta_x) + offset)).astype(jnp.float32)
+    fy = (scale * ((ys_b.astype(rdt) + delta_y) + offset)).astype(jnp.float32)
+    fx, fy = jax.lax.optimization_barrier((fx, fy))
 
     return KeyPoints(
         x=fx,
@@ -443,3 +465,4 @@ def _refine_layer_keypoints(
         octave=jnp.full((k,), geom.index // 2, jnp.int32),
         valid=accept,
     )
+
