@@ -110,15 +110,20 @@ def above_scan_stamps(
     iy_last = _trunc_i32(y1)
 
     k = xs.shape[0]
-    grid = jnp.zeros((k, 3, 3), bool)
-    rr = jnp.arange(3)[None, :, None]
-    cc = jnp.arange(3)[None, None, :]
+    # 5x5 stamp anchored at (ax-1, ay-1): the scan itself touches
+    # [ax, ax+2] x [ay, ay+2], but the final 3x3 around the scan maximum
+    # extends ONE cell beyond on every side (e.g. a bottom-float-row
+    # maximum at my = trunc(y1) = ay writes row ay-1 — observed in the
+    # compiled reference: GSMA L0 (479,340) storing layer-1 (319,225)).
+    grid = jnp.zeros((k, 5, 5), bool)
+    rr = jnp.arange(5)[None, :, None]
+    cc = jnp.arange(5)[None, None, :]
 
     def mark(g, X, Y, active, bilinear):
         """Mark the taps of one probe: (X, Y) plus the 2x2 block for
         bilinear probes (the float overload always reads all 4)."""
-        rx = (X - ax)[:, None, None]
-        ry = (Y - ay)[:, None, None]
+        rx = (X - ax + 1)[:, None, None]
+        ry = (Y - ay + 1)[:, None, None]
         act = active[:, None, None]
         m = act & (rr == ry) & (cc == rx)
         if bilinear:
@@ -185,14 +190,14 @@ def above_scan_stamps(
 
 
 def scatter_stamps(layer: AstLayerMaps, ax, ay, stamp, active):
-    """OR the (K, 3, 3) stamps of active candidates into a dense map,
+    """OR the (K, 5, 5) stamps of active candidates into a dense map,
     restricted to the writable region [3, n-4) (GetAgastScore guard)."""
     h, w = layer.img.shape
     out = jnp.zeros((h, w), bool)
-    for r in range(3):
-        for c in range(3):
-            qx = ax + c
-            qy = ay + r
+    for r in range(5):
+        for c in range(5):
+            qx = ax + c - 1
+            qy = ay + r - 1
             ok = (
                 active
                 & stamp[:, r, c]
@@ -211,6 +216,7 @@ def exact_is2d_layer(
     valid: jnp.ndarray,     # (K,) bool
     patch_gate: jnp.ndarray,  # (K,) bool: 3D gates for the same-layer 3x3
     prefill: jnp.ndarray,   # (H, W) bool threshold-1 prefill from below
+    float_patch: bool = False,
 ) -> jnp.ndarray:
     """Sequential-exact IsMax2D over one layer's candidates.
 
@@ -218,6 +224,18 @@ def exact_is2d_layer(
     corner seeds, prefill, per-candidate neighbor-query writes up to the
     first failing compare, raw tie reads, and accepted candidates'
     same-layer 3x3 threshold-1 writes (gated on the 3D checks).
+
+    ``float_patch``: the LAST-layer / single-layer branches pass FLOAT
+    keypoint coords to GetAgastScore (brisk-scale-space.cc:186-194,
+    :227, :233-241), resolving to the bilinear overload whose integer-
+    coordinate reads still touch the 2x2 block (x..x+1, y..y+1) through
+    GetAgastScore(int, 1) (brisk-layer.cc:157-160).  Net per-candidate
+    footprint: the GetScoreMaxBelow threshold argument seeds the own
+    2x2 after IsMax2D passes (regardless of the 3D gate), and the 3x3
+    patch gather seeds the 4x4 block (x-1..x+2, y-1..y+2) when the
+    gate passes.  Observed in the compiled reference: (106,49)=43 on
+    img1 layer 5 seeded by (104,49)'s patch read at float (105.0,
+    48.0), flipping (105,49)'s tie-break sum from 482 to 587.
     """
     h, w = layer.img.shape
     k = xs.shape[0]
@@ -324,20 +342,37 @@ def exact_is2d_layer(
         )
         is2d_c &= ~tie_rej
 
-        # --- 3b: same-layer 3x3 threshold-1 writes (gated).
+        # --- 3b: same-layer threshold-1 writes (gated).
         do_patch = is2d_c & patch_gate[c]
-        for dy_ in (-1, 0, 1):
-            for dx_ in (-1, 0, 1):
-                px = x + dx_
-                py = y + dy_
-                pin = (
-                    do_patch
-                    & (px >= 3) & (py >= 3) & (px < w - 3) & (py < h - 3)
-                )
-                oldp = stored[py, px]
-                stored = stored.at[py, px].set(
-                    jnp.where(pin & (oldp <= 2), t_nc[py, px], oldp)
-                )
+        if float_patch:
+            # Bilinear float-coord calls: own 2x2 on is2d alone (the
+            # GetScoreMaxBelow threshold argument), 4x4 with the gate
+            # (each of the 9 float patch reads touches a 2x2).
+            writes = [
+                ((0, 0), False), ((1, 0), False),
+                ((0, 1), False), ((1, 1), False),
+            ] + [
+                ((dx_, dy_), True)
+                for dy_ in (-1, 0, 1, 2)
+                for dx_ in (-1, 0, 1, 2)
+            ]
+        else:
+            writes = [
+                ((dx_, dy_), True)
+                for dy_ in (-1, 0, 1)
+                for dx_ in (-1, 0, 1)
+            ]
+        for (dx_, dy_), gated in writes:
+            px = x + dx_
+            py = y + dy_
+            pin = (
+                (do_patch if gated else is2d_c)
+                & (px >= 3) & (py >= 3) & (px < w - 3) & (py < h - 3)
+            )
+            oldp = stored[py, px]
+            stored = stored.at[py, px].set(
+                jnp.where(pin & (oldp <= 2), t_nc[py, px], oldp)
+            )
 
         return stored, acc.at[c].set(is2d_c)
 

@@ -93,20 +93,34 @@ def build_ast_layer(
     lower: int = 10,
     scale: float = 1.0,
     offset: float = 0.0,
+    v1: bool = False,
 ) -> AstLayerMaps:
+    """Dense BriskLayer maps.
+
+    ``v1=True`` mirrors the legacy engine (brisk-v1.cc:1684-1707): no
+    adaptive threshold map — detection is plain OAST 9/16 at the given
+    threshold (``getAgastPoints`` sets the detector threshold directly),
+    and the corner score seeds are ``cornerScore`` at that threshold,
+    which equals t* for every detected corner (t* >= threshold).
+    """
     t_star = oast9_16_score_map(img)
-    thr = threshold_map(img)
-    cmp_thr = (threshold * lower) // 100
-    clamped = jnp.clip(thr, lower, upper)
-    b2 = (clamped * threshold) // 100
     h, w = img.shape
     # detect() loop bounds: y in [3, rows-4] (y < ysize-3), x in [3, cols-4]
     # (x++ then break when x > xsize-4; oast9-16.cc:50-84).
     detect_region = jnp.zeros((h, w), bool).at[3 : h - 3, 3 : w - 3].set(True)
-    corner = detect_region & (thr >= cmp_thr) & (t_star >= b2)
-    cache = jnp.where(
-        corner, jnp.maximum(t_star, thr), jnp.maximum(t_star, 0)
-    )
+    if v1:
+        thr = jnp.full((h, w), int(threshold), jnp.int32)
+        corner = detect_region & (t_star >= int(threshold))
+        cache = jnp.maximum(t_star, 0)
+    else:
+        thr = threshold_map(img)
+        cmp_thr = (threshold * lower) // 100
+        clamped = jnp.clip(thr, lower, upper)
+        b2 = (clamped * threshold) // 100
+        corner = detect_region & (thr >= cmp_thr) & (t_star >= b2)
+        cache = jnp.where(
+            corner, jnp.maximum(t_star, thr), jnp.maximum(t_star, 0)
+        )
     return AstLayerMaps(
         img=img,
         t_star=t_star,

@@ -65,14 +65,42 @@ def _dbl_div(num_f32, denom):
     return (_dbl(num_f32) / denom).astype(f32)
 
 
+def _fmul(a, b):
+    """f32 product immune to FMA contraction: multiply exactly in f64
+    (24+24 < 53 mantissa bits) and round once to f32 — bit-identical to
+    a plain f32 multiply, but LLVM cannot contract the f64 mul with a
+    downstream f32 add into fma(a, b, c).
+
+    Why needed: the reference's scalar C++ (g++ -O1 -mssse3, no FMA ISA)
+    rounds every multiply separately; under jit, XLA:CPU fusions let
+    LLVM contract `a*b + c`, skewing ~10% of refined responses by 1 ULP
+    vs the compiled reference. HLO-level `optimization_barrier` does NOT
+    survive to codegen on the CPU backend (verified in the optimized
+    HLO), so the fence must be structural. Without x64 this degrades to
+    a plain (contractible) f32 multiply — acceptable on TPU, where the
+    golden-parity CPU path is not in play."""
+    dt = jnp.float64 if jax.config.jax_enable_x64 else f32
+    return (jnp.asarray(a).astype(dt) * jnp.asarray(b).astype(dt)).astype(
+        f32
+    )
+
+
+def _nf(x):
+    """Legacy fence shim (see _fmul): kept for f64 chains where a
+    structural fence is unavailable; best-effort only."""
+    return jax.lax.optimization_barrier(x)
+
+
 def build_ast_pyramid(
     img: jnp.ndarray,
     octaves: int,
     threshold: int,
     lower: int = 10,
     upper: int = 230,
+    v1: bool = False,
 ) -> list[AstLayerMaps]:
-    """ConstructPyramid (brisk-scale-space.cc:64-90)."""
+    """ConstructPyramid (brisk-scale-space.cc:64-90; v1 identical
+    geometry, brisk-v1.cc:577-593)."""
     n_layers = max(2 * octaves, 1)
     imgs = [img]
     if n_layers > 1:
@@ -89,7 +117,9 @@ def build_ast_pyramid(
             scale = 2.0 ** (i // 2) * (1.0 if i % 2 == 0 else 1.5)
             offset = 0.5 * scale - 0.5
         layers.append(
-            build_ast_layer(im, threshold, upper, lower, scale, offset)
+            build_ast_layer(
+                im, threshold, upper, lower, scale, offset, v1=v1
+            )
         )
     return layers
 
@@ -196,8 +226,9 @@ def ast_subpixel2d(s: jnp.ndarray):
         # Numerator in float (C++ int*float products), / 18.0 in double
         # (:1344-1348, :1360-1363).
         return _dbl_div(
-            c1f * dx * dx + c2f * dy * dy + c3f * dx + c4f * dy
-            + c5f * dx * dy + c6f,
+            _fmul(_fmul(c1f, dx), dx) + _fmul(_fmul(c2f, dy), dy)
+            + _fmul(c3f, dx) + _fmul(c4f, dy)
+            + _fmul(_fmul(c5f, dx), dy) + c6f,
             18.0,
         )
 
@@ -241,9 +272,9 @@ def _refine1d(
     (a0, a1, a2), (b0, b1, b2), (c0, c1, c2) = coeffs
     # C++ `int(1024.0 * s + 0.5)` is double arithmetic (:1103); in f32
     # the +0.5 can round at the 25-bit boundary and shift the trunc.
-    i_05 = _trunc_i32(_dbl(s_05) * 1024.0 + 0.5)
-    i0 = _trunc_i32(_dbl(s0) * 1024.0 + 0.5)
-    i05 = _trunc_i32(_dbl(s05) * 1024.0 + 0.5)
+    i_05 = _trunc_i32(_nf(_dbl(s_05) * 1024.0) + 0.5)
+    i0 = _trunc_i32(_nf(_dbl(s0) * 1024.0) + 0.5)
+    i05 = _trunc_i32(_nf(_dbl(s05) * 1024.0) + 0.5)
 
     a = a0 * i_05 + a1 * i0 + a2 * i05
     b = b0 * i_05 + b1 * i0 + b2 * i05
@@ -266,7 +297,8 @@ def _refine1d(
     ret = -b.astype(f32) / safe_a
     ret = jnp.clip(ret, lo, hi)
     mx_num = (
-        c.astype(f32) + a.astype(f32) * ret * ret + b.astype(f32) * ret
+        c.astype(f32) + _fmul(_fmul(a.astype(f32), ret), ret)
+        + _fmul(b.astype(f32), ret)
     )
     if div_is_double:
         # `max /= 3072.0` / `2048.0` are double divisions (:1140, :1184).
@@ -356,7 +388,10 @@ def _bilinear_score(layer: AstLayerMaps, xf, yf):
     v10 = _cache_score(layer, x + 1, y).astype(f32)
     v01 = _cache_score(layer, x, y + 1).astype(f32)
     v11 = _cache_score(layer, x + 1, y + 1).astype(f32)
-    out = rx * ry * v00 + rx1 * ry * v10 + rx * ry1 * v01 + rx1 * ry1 * v11
+    out = (
+        _fmul(_fmul(rx, ry), v00) + _fmul(_fmul(rx1, ry), v10)
+        + _fmul(_fmul(rx, ry1), v01) + _fmul(_fmul(rx1, ry1), v11)
+    )
     return _trunc_i32(out).astype(f32)  # uint8 truncation (values <= 255)
 
 
@@ -541,6 +576,7 @@ def _score_patch_max(
     ys: jnp.ndarray,
     thr: jnp.ndarray,
     mode: str,       # above_octave | above_intra | below_octave | below_intra
+    drop: int = K_DROP_THRESHOLD,
 ):
     """Ordered probe scan over the neighbor-layer patch.
 
@@ -548,8 +584,13 @@ def _score_patch_max(
     order, first-strict-maximum rule, the below-scan smoothing tie-break,
     the missing threshold check on the bottom row, and the final
     Subpixel2D + saturation are all reproduced.
+
+    ``drop``: the v2 engine rejects when a probe exceeds thr +
+    kDropThreshold_ (=5); the v1 engine compares against the center
+    score directly (brisk-v1.cc:1113-1120 takes `threshold` verbatim) —
+    pass drop=0.
     """
-    threshold = (thr + K_DROP_THRESHOLD).astype(f32)
+    threshold = (thr + drop).astype(f32)
     xsf = xs.astype(f32)
     ysf = ys.astype(f32)
 
@@ -565,10 +606,10 @@ def _score_patch_max(
         n_int = 1
         tie_break = False
     elif mode == "above_intra":
-        x_1 = (f32(6.0) * xsf - 4) / f32(8.0)
-        x1 = (f32(6.0) * xsf + 2) / f32(8.0)
-        y_1 = (f32(6.0) * ysf - 4) / f32(8.0)
-        y1 = (f32(6.0) * ysf + 2) / f32(8.0)
+        x_1 = (_fmul(f32(6.0), xsf) - 4) / f32(8.0)
+        x1 = (_fmul(f32(6.0), xsf) + 2) / f32(8.0)
+        y_1 = (_fmul(f32(6.0), ysf) - 4) / f32(8.0)
+        y1 = (_fmul(f32(6.0), ysf) + 2) / f32(8.0)
         n_int = 1
         tie_break = False
     elif mode == "below_octave":
@@ -685,17 +726,17 @@ def _score_patch_max(
     # whole chain INCLUDING `- x_layer` is double (float promotes), with
     # one round to float at the dx assignment.
     if mode == "above_octave":
-        dx = (real_x * f32(6.0) + f32(1.0)) / f32(4.0) - xsf
-        dy = (real_y * f32(6.0) + f32(1.0)) / f32(4.0) - ysf
+        dx = (_fmul(real_x, f32(6.0)) + f32(1.0)) / f32(4.0) - xsf
+        dy = (_fmul(real_y, f32(6.0)) + f32(1.0)) / f32(4.0) - ysf
     elif mode == "above_intra":
-        dx = ((_dbl(real_x) * 8.0 + 1.0) / 6.0 - _dbl(xsf)).astype(f32)
-        dy = ((_dbl(real_y) * 8.0 + 1.0) / 6.0 - _dbl(ysf)).astype(f32)
+        dx = ((_nf(_dbl(real_x) * 8.0) + 1.0) / 6.0 - _dbl(xsf)).astype(f32)
+        dy = ((_nf(_dbl(real_y) * 8.0) + 1.0) / 6.0 - _dbl(ysf)).astype(f32)
     elif mode == "below_octave":
-        dx = ((_dbl(real_x) * 6.0 + 1.0) / 8.0 - _dbl(xsf)).astype(f32)
-        dy = ((_dbl(real_y) * 6.0 + 1.0) / 8.0 - _dbl(ysf)).astype(f32)
+        dx = ((_nf(_dbl(real_x) * 6.0) + 1.0) / 8.0 - _dbl(xsf)).astype(f32)
+        dy = ((_nf(_dbl(real_y) * 6.0) + 1.0) / 8.0 - _dbl(ysf)).astype(f32)
     else:
-        dx = ((_dbl(real_x) * 4.0 - 1.0) / 6.0 - _dbl(xsf)).astype(f32)
-        dy = ((_dbl(real_y) * 4.0 - 1.0) / 6.0 - _dbl(ysf)).astype(f32)
+        dx = ((_nf(_dbl(real_x) * 4.0) - 1.0) / 6.0 - _dbl(xsf)).astype(f32)
+        dy = ((_nf(_dbl(real_y) * 4.0) - 1.0) / 6.0 - _dbl(ysf)).astype(f32)
 
     unrefined = (dx > 1.0) | (dx < -1.0) | (dy > 1.0) | (dy < -1.0)
     dx = jnp.clip(dx, -1.0, 1.0)
@@ -715,18 +756,24 @@ def refine3d(
     xs: jnp.ndarray,
     ys: jnp.ndarray,
     t58_layer0: Optional[jnp.ndarray],
+    v1: bool = False,
 ):
     """Vectorized Refine3D for candidates on layer i (not the last layer).
 
     Returns (ismax, score, x, y, scale_total) in original-image coords.
+
+    ``v1``: the legacy engine (brisk-v1.cc:942-1110) has NO scale-axis
+    weak/edge gates (always refines the scale) and its scan drop
+    threshold is the center score itself (drop=0).
     """
     this = layers[i]
     center = _cache_score(this, xs, ys)
+    drop = 0 if v1 else K_DROP_THRESHOLD
 
     is_octave = i % 2 == 0
     above_mode = "above_octave" if is_octave else "above_intra"
     ismax_a, max_above, dxa, dya = _score_patch_max(
-        layers[i + 1], xs, ys, center, above_mode
+        layers[i + 1], xs, ys, center, above_mode, drop=drop
     )
 
     # Patch on this layer.
@@ -749,10 +796,13 @@ def refine3d(
             ismax_b = jnp.ones_like(ismax_a)
         else:
             ismax_b, max_below_f, dxb, dyb = _score_patch_max(
-                layers[i - 1], xs, ys, center, "below_octave"
+                layers[i - 1], xs, ys, center, "below_octave", drop=drop
             )
-        # Scale-axis tests (:612-630).
-        if i == 0:
+        # Scale-axis tests (:612-630). v1 has none (brisk-v1.cc:1012).
+        if v1:
+            no_refine = jnp.zeros_like(ismax_a)
+            discard = jnp.zeros_like(ismax_a)
+        elif i == 0:
             no_refine = (s_1_1 - K_MAX_THRESHOLD) <= _trunc_i32(max_above)
             discard = jnp.zeros_like(no_refine)
         else:
@@ -779,15 +829,15 @@ def refine3d(
         # Position interpolation (:655-684).
         r0_up = (f32(1.5) - scale) / f32(0.5)
         r1_up = f32(1.0) - r0_up
-        x_up = r0_up * dxl + r1_up * dxa + xs.astype(f32)
-        y_up = r0_up * dyl + r1_up * dya + ys.astype(f32)
+        x_up = _fmul(r0_up, dxl) + _fmul(r1_up, dxa) + xs.astype(f32)
+        y_up = _fmul(r0_up, dyl) + _fmul(r1_up, dya) + ys.astype(f32)
 
         r0_dn = (scale - f32(0.5 if i == 0 else 0.75)) / f32(
             0.5 if i == 0 else 0.25
         )
         r1_dn = f32(1.0) - r0_dn
-        x_dn = r0_dn * dxl + r1_dn * dxb + xs.astype(f32)
-        y_dn = r0_dn * dyl + r1_dn * dyb + ys.astype(f32)
+        x_dn = _fmul(r0_dn, dxl) + _fmul(r1_dn, dxb) + xs.astype(f32)
+        y_dn = _fmul(r0_dn, dyl) + _fmul(r1_dn, dyb) + ys.astype(f32)
 
         up = scale > 1.0
         if i == 0:
@@ -798,20 +848,28 @@ def refine3d(
         else:
             ls = f32(this.scale)
             lo = f32(this.offset)
-            x_out = jnp.where(up, x_up * ls + lo, x_dn * ls + lo)
-            y_out = jnp.where(up, y_up * ls + lo, y_dn * ls + lo)
+            x_out = jnp.where(
+                up, _fmul(x_up, ls) + lo, _fmul(x_dn, ls) + lo
+            )
+            y_out = jnp.where(
+                up, _fmul(y_up, ls) + lo, _fmul(y_dn, ls) + lo
+            )
     else:
         ismax_b, max_below_f, dxb, dyb = _score_patch_max(
-            layers[i - 1], xs, ys, center, "below_intra"
+            layers[i - 1], xs, ys, center, "below_intra", drop=drop
         )
-        weak = ((s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_above) | (
-            (s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_below_f
-        )
-        edge = ((s_1_1 - K_MIN_DROP).astype(f32) > max_above) | (
-            (s_1_1 - K_MIN_DROP).astype(f32) > max_below_f
-        )
-        no_refine = weak & edge
-        discard = weak & ~edge
+        if v1:
+            no_refine = jnp.zeros_like(ismax_a)
+            discard = jnp.zeros_like(ismax_a)
+        else:
+            weak = ((s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_above) | (
+                (s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_below_f
+            )
+            edge = ((s_1_1 - K_MIN_DROP).astype(f32) > max_above) | (
+                (s_1_1 - K_MIN_DROP).astype(f32) > max_below_f
+            )
+            no_refine = weak & edge
+            discard = weak & ~edge
 
         r_scale, r_max = refine1d_1(max_below_f, max_layer_or_center,
                                     max_above)
@@ -820,16 +878,24 @@ def refine3d(
 
         # C++ `4.0 - scale * 3.0` / `scale * 3.0 - 2.0` are double chains
         # rounded once to float (:731, :739); f32 would round scale*3 too.
-        r0_up = (4.0 - _dbl(scale) * 3.0).astype(f32)
+        r0_up = (4.0 - _nf(_dbl(scale) * 3.0)).astype(f32)
         r1_up = f32(1.0) - r0_up
-        r0_dn = (_dbl(scale) * 3.0 - 2.0).astype(f32)
+        r0_dn = (_nf(_dbl(scale) * 3.0) - 2.0).astype(f32)
         r1_dn = f32(1.0) - r0_dn
         ls = f32(this.scale)
         lo = f32(this.offset)
-        x_up = (r0_up * dxl + r1_up * dxa + xs.astype(f32)) * ls + lo
-        y_up = (r0_up * dyl + r1_up * dya + ys.astype(f32)) * ls + lo
-        x_dn = (r0_dn * dxl + r1_dn * dxb + xs.astype(f32)) * ls + lo
-        y_dn = (r0_dn * dyl + r1_dn * dyb + ys.astype(f32)) * ls + lo
+        x_up = _fmul(
+            _fmul(r0_up, dxl) + _fmul(r1_up, dxa) + xs.astype(f32), ls
+        ) + lo
+        y_up = _fmul(
+            _fmul(r0_up, dyl) + _fmul(r1_up, dya) + ys.astype(f32), ls
+        ) + lo
+        x_dn = _fmul(
+            _fmul(r0_dn, dxl) + _fmul(r1_dn, dxb) + xs.astype(f32), ls
+        ) + lo
+        y_dn = _fmul(
+            _fmul(r0_dn, dyl) + _fmul(r1_dn, dyb) + ys.astype(f32), ls
+        ) + lo
         up = scale > 1.0
         x_out = jnp.where(up, x_up, x_dn)
         y_out = jnp.where(up, y_up, y_dn)
@@ -843,7 +909,8 @@ def refine3d(
 # Top-level detection (BriskFeatureDetector::detectImpl + GetKeypoints).
 # ---------------------------------------------------------------------------
 def _process_layer(
-    layers, i, xs, ys, t58, e_query, e_patch, prefill, is2d_override=None
+    layers, i, xs, ys, t58, e_query, e_patch, prefill, is2d_override=None,
+    v1=False,
 ):
     """One layer's maxima pipeline. Returns (is2d, accepted, kp fields)."""
     layer = layers[i]
@@ -872,12 +939,13 @@ def _process_layer(
         center = _cache_score(layer, xs, ys)
         below_mode = "below_octave" if i % 2 == 0 else "below_intra"
         ismax_b, _, _, _ = _score_patch_max(
-            layers[i - 1], xs, ys, center, below_mode
+            layers[i - 1], xs, ys, center, below_mode,
+            drop=0 if v1 else K_DROP_THRESHOLD,
         )
         patch = _patch33(lambda xg, yg: _cache_score(layer, xg, yg), xs, ys)
         dxl, dyl, mx = ast_subpixel2d(patch)
-        x_out = (xs.astype(f32) + dxl) * ls + lo
-        y_out = (ys.astype(f32) + dyl) * ls + lo
+        x_out = _fmul(xs.astype(f32) + dxl, ls) + lo
+        y_out = _fmul(ys.astype(f32) + dyl, ls) + lo
         score = mx
         size = jnp.full_like(x_out, f32(K_BASIC_SIZE) * ls)
         accepted = is2d & ismax_b
@@ -885,7 +953,7 @@ def _process_layer(
         octave_idx = i
     else:
         ismax, score, x_out, y_out, scale_total, ismax_a, ismax_b = refine3d(
-            layers, i, xs, ys, t58
+            layers, i, xs, ys, t58, v1=v1
         )
         size = f32(K_BASIC_SIZE) * scale_total
         accepted = is2d & ismax
@@ -971,6 +1039,7 @@ def detect_ast_keypoints(
     suppress_scale_nonmaxima: bool = True,
     passed_keypoints: KeyPoints | None = None,
     lower_threshold: int = 10,
+    v1: bool = False,
 ) -> KeyPoints:
     """Dense BRISK-AST detection. Returns fixed-capacity KeyPoints.
 
@@ -991,7 +1060,9 @@ def detect_ast_keypoints(
     check is skipped (perform_2d_nonMax=false, :97/:139), and the normal
     refinement / 3-D suppression machinery runs on those candidates.
     """
-    layers = build_ast_pyramid(img, octaves, threshold, lower=lower_threshold)
+    layers = build_ast_pyramid(
+        img, octaves, threshold, lower=lower_threshold, v1=v1
+    )
     n_layers = len(layers)
     t58 = agast5_8_score_map(layers[0].img) if n_layers > 1 else None
 
@@ -1065,7 +1136,7 @@ def detect_ast_keypoints(
         for i in range(n_layers):
             xs, ys, valid = cand[i]
             is2d, _, _, ismax_a, ismax_b = _process_layer(
-                layers, i, xs, ys, t58, None, None, None
+                layers, i, xs, ys, t58, None, None, None, v1=v1
             )
             pass1.append(
                 dict(
@@ -1115,7 +1186,10 @@ def detect_ast_keypoints(
                     )
                 gate = ga & gb
             is2d = exact_is2d_layer(
-                layers[i], xs, ys, valid, gate, prefill
+                layers[i], xs, ys, valid, gate, prefill,
+                # Last/single layer: float-coord GetAgastScore calls
+                # widen the threshold-1 write footprint (see ast_exact).
+                float_patch=(i == n_layers - 1),
             )
             exact_is2d[i] = is2d
             if i + 1 < n_layers:
@@ -1134,17 +1208,17 @@ def detect_ast_keypoints(
         if raw_cache_model == "exact":
             _, accepted, fields, _, _ = _process_layer(
                 layers, i, xs, ys, t58, None, None, None,
-                is2d_override=exact_is2d[i],
+                is2d_override=exact_is2d[i], v1=v1,
             )
         elif raw_cache_model != "emulated":
             is2d = is_max_2d(layers[i], xs, ys, raw_model=raw_cache_model)
             _, accepted, fields, _, _ = _process_layer(
-                layers, i, xs, ys, t58, None, None, None
+                layers, i, xs, ys, t58, None, None, None, v1=v1
             )
             accepted &= is2d
         else:
             _, accepted, fields, _, _ = _process_layer(
-                layers, i, xs, ys, t58, e_q, e_p, pre
+                layers, i, xs, ys, t58, e_q, e_p, pre, v1=v1
             )
         x_out, y_out, size, score, octave_idx = fields
         per_layer.append(

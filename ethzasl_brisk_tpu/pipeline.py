@@ -43,6 +43,12 @@ class BriskFeature:
     max_keypoints: int = 4096
     refine_dtype: str = "float32"
     sampler: str = "gather"   # descriptor sampling backend ('patch' = MXU)
+    # Op-by-op detection for golden parity: XLA:CPU's x86 backend
+    # FMA-contracts fused mul+add chains (flags and optimization_barrier
+    # cannot prevent it — verified in kernel disassembly), which can
+    # skew the last ULP of subpixel x/y vs the reference's scalar C++;
+    # eager execution rounds each op separately, exactly like the C++.
+    eager_exact: bool = False
     # Patch-sampler patch dims; must cover the pattern extent of the
     # largest keypoint scale the detector can emit (extent ~= size + 2;
     # supported extent is patch/2 - 2 — fast_sampler.py docs).
@@ -112,7 +118,7 @@ class BriskFeature:
         description (pattern tables threaded as runtime arguments — large
         jit closure constants are ~2000x slower on TPU, see DevicePattern).
         """
-        kps = self._detect_jit(img)
+        kps = self.detect(img) if self.eager_exact else self._detect_jit(img)
         return self._extractor(img, kps)
 
 
@@ -138,6 +144,14 @@ class BriskFeatureDetector:
     # approximation), "exact" (sequential fori_loop emulation,
     # bit-exact), or "fresh" (no history).
     raw_cache_model: str = "emulated"
+    # Run detection eagerly (op-by-op) instead of under one jit.  The
+    # x86 backend of XLA:CPU contracts mul+add chains into FMA inside
+    # fusions regardless of flags or HLO optimization_barrier (verified
+    # in disassembly), which skews ~1/3 of refined responses/sizes by
+    # 1-2 ULP vs the compiled reference; op-by-op execution rounds every
+    # op separately, exactly like the reference's scalar C++.  Used by
+    # the golden-parity harness; ~same speed on CPU once op caches warm.
+    eager_exact: bool = False
 
     def __post_init__(self):
         object.__setattr__(
@@ -166,6 +180,12 @@ class BriskFeatureDetector:
             max_candidates_per_layer=self.max_candidates_per_layer,
             suppress_scale_nonmaxima=self.suppress_scale_nonmaxima,
             raw_cache_model=self.raw_cache_model,
+            # version="v1" selects the legacy engine end to end: plain
+            # OAST detection without the adaptive threshold map, no
+            # scale-axis weak/edge gates, drop threshold = center
+            # (brisk-v1.cc:595-1110), plus the v1 ring pattern in the
+            # extractor.
+            v1=(self.version == "v1"),
         )
 
     @partial(jax.jit, static_argnames=("self",))
@@ -175,7 +195,7 @@ class BriskFeatureDetector:
     def detect_and_compute(
         self, img: jnp.ndarray
     ) -> tuple[KeyPoints, jnp.ndarray]:
-        kps = self._detect_jit(img)
+        kps = self.detect(img) if self.eager_exact else self._detect_jit(img)
         return self._extractor(img, kps)
 
 
