@@ -105,6 +105,55 @@ def main() -> None:
         assert checksum != 0
 
     fps = batch * iters / dt
+
+    if os.environ.get("BENCH_STAGES"):
+        # Coarse per-stage table (honest checksum timing per stage);
+        # the finer taxonomy lives in tools/profile_stages.py.
+        from ethzasl_brisk_tpu.describe.extractor import (
+            extract_descriptors_batch,
+        )
+
+        det_fn = jax.jit(jax.vmap(feature.detect))
+        pat = feature.extractor.pattern
+
+        def timed(name, fn, *args, iters_s=8):
+            for _ in range(4):
+                o = fn(*args)
+                acc = sum(
+                    jnp.sum(x, dtype=jnp.float32)
+                    for x in jax.tree_util.tree_leaves(o)
+                    if isinstance(x, jax.Array)
+                )
+                float(np.asarray(acc))
+            t0s = time.perf_counter()
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(iters_s):
+                o = fn(*args)
+                acc = acc + sum(
+                    jnp.sum(x, dtype=jnp.float32)
+                    for x in jax.tree_util.tree_leaves(o)
+                    if isinstance(x, jax.Array)
+                )
+            float(np.asarray(acc))
+            dt_s = (time.perf_counter() - t0s) / iters_s
+            print(f"  {name:10s} {dt_s*1e3:8.2f} ms/batch{batch}",
+                  file=sys.stderr)
+            return o
+
+        print("per-stage (warm medians-ish):", file=sys.stderr)
+        kps = timed("detect", det_fn, frames)
+        ext_fn = jax.jit(
+            lambda p, f, k: extract_descriptors_batch(
+                p, f, k,
+                rotation_invariant=feature.rotation_invariant,
+                scale_invariant=feature.scale_invariant,
+                sampler=feature.sampler,
+                patch_h=feature.patch_h,
+                patch_w=feature.patch_w,
+            )
+        )
+        timed("describe", ext_fn, pat, frames, kps)
+
     n_valid = np.asarray(jnp.sum(out[0].valid, axis=1))
     print(
         f"config: octaves={feature.octaves} uradius="

@@ -101,24 +101,75 @@ def _tap_geometry(key_x, key_y, pat_x, pat_y, pat_sigma):
     )
 
 
-def _contract_taps(patches, rel_rows, rel_cols, patch_h, patch_w):
+def _contract_taps(patches, rel_rows, rel_cols, patch_h, patch_w,
+                   matmul="f32"):
     """One-hot separable contraction: (c, PH, PW) patches x (c, p, 6)
-    relative coords -> (c, p, 6, 6) int32 tap grid."""
+    relative coords -> (c, p, 6, 6) int32 tap grid.
+
+    ``matmul`` selects the row-selection matmul arithmetic — all three
+    are bit-exact (anchored patch values are < PH*PW*255 <= 2^22):
+
+    * ``"f32"``: one f32 matmul at Precision.HIGHEST (6 bf16 MXU
+      passes — TPU matmuls otherwise cast inputs to bfloat16 and
+      truncate the integral values to 8 mantissa bits).
+    * ``"bf16_limb"``: split the patch into three 8-bit limbs; each
+      limb (< 256) and the one-hot are bf16-exact, each dot output is
+      a single patch value limb (one 1 per one-hot row), so three
+      DEFAULT-precision matmuls recombine exactly in f32 (3 passes).
+    * ``"int8_limb"``: same limbs as s8 x s8 -> s32 dots (TPU int8
+      MXU rate, where available).
+    """
     c, p = rel_rows.shape[0], rel_rows.shape[1]
     iota_h = jnp.arange(patch_h, dtype=jnp.int32)
     iota_w = jnp.arange(patch_w, dtype=jnp.int32)
-    oh_r = (rel_rows[..., None] == iota_h).astype(jnp.float32)
     oh_c = (rel_cols[..., None] == iota_w).astype(jnp.float32)
 
-    rows = jax.lax.dot_general(
-        oh_r.reshape(c, p * 6, patch_h),
-        patches,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        # HIGHEST: TPU matmuls otherwise cast inputs to bfloat16 and
-        # truncate the integral values (8-bit mantissa).
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(c, p, 6, patch_w)
+    def rowsel(oh_dtype, limb, prec):
+        oh = (rel_rows[..., None] == iota_h).astype(oh_dtype)
+        return jax.lax.dot_general(
+            oh.reshape(c, p * 6, patch_h),
+            limb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=(
+                jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
+            ),
+            precision=prec,
+        )
+
+    if matmul == "f32":
+        rows = rowsel(jnp.float32, patches, jax.lax.Precision.HIGHEST)
+    else:
+        pi = patches.astype(jnp.int32)
+        limbs = [(pi >> s) & 0xFF for s in (0, 8, 16)]
+        if matmul == "bf16_limb":
+            parts = [
+                rowsel(
+                    jnp.bfloat16,
+                    l.astype(jnp.bfloat16),
+                    jax.lax.Precision.DEFAULT,
+                )
+                for l in limbs
+            ]
+            rows = parts[0] + parts[1] * 256.0 + parts[2] * 65536.0
+        elif matmul == "int8_limb":
+            # int8 is signed: bias each limb by -128 (exact in s8) and
+            # add back 128 * (one-hot row sum == 1) after the dot.
+            parts = [
+                rowsel(
+                    jnp.int8,
+                    (l - 128).astype(jnp.int8),
+                    jax.lax.Precision.DEFAULT,
+                )
+                for l in limbs
+            ]
+            rows = (
+                (parts[0] + 128)
+                + (parts[1] + 128) * 256
+                + (parts[2] + 128) * 65536
+            ).astype(jnp.float32)
+        else:
+            raise ValueError(f"unknown matmul mode {matmul!r}")
+    rows = rows.reshape(c, p, 6, patch_w)
     taps = jnp.einsum(
         "cpiw,cpjw->cpij", rows, oh_c,
         preferred_element_type=jnp.float32,
@@ -254,6 +305,7 @@ def smoothed_intensity_patch(
     chunk: int = 128,
     row_base: jnp.ndarray | None = None,  # (K,) i32 stacked-frame row shift
     frame_rows: int | None = None,        # frame-local image height
+    matmul: str = "f32",                  # see _contract_taps
 ) -> jnp.ndarray:
     """Reference-exact smoothed intensities, (K, P) int32.
 
@@ -292,7 +344,9 @@ def smoothed_intensity_patch(
     def do_chunk(args):
         axk, ayk, rrk, rck = args
         patches = _slice_patches(integral, axk, ayk, patch_h, patch_w)
-        return _contract_taps(patches, rrk, rck, patch_h, patch_w)
+        return _contract_taps(
+            patches, rrk, rck, patch_h, patch_w, matmul=matmul
+        )
 
     taps = jax.lax.map(do_chunk, (ax_c, ay_c, rr, rc))
     taps = taps.reshape(n_chunks * chunk, p, 6, 6)[:k]

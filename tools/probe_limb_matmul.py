@@ -1,0 +1,103 @@
+"""Probe: describe-sampler one-hot contraction arithmetic on TPU.
+
+The row-selection matmul in describe/fast_sampler.py runs at
+Precision.HIGHEST (6 bf16 MXU passes) to keep the <=2^22 integral
+values exact. Alternatives (same exact values):
+
+* bf16_limb: three 8-bit limbs as DEFAULT-precision bf16 matmuls
+  (3 passes -> ~2x the MXU rate);
+* int8_limb: the limbs as s8 x s8 -> s32 dots (TPU int8 rate).
+
+Times the FULL sampler (bench shapes: 16384 keypoints, 128x128 patch,
+60-point pattern) per mode with the honest checksum readback, and
+checks bit-equality across modes.
+
+  python tools/probe_limb_matmul.py [n_kpts]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.describe.fast_sampler import (
+        smoothed_intensity_patch,
+    )
+    from ethzasl_brisk_tpu.kernels.integral import integral_image_i32
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    p = 60
+    h, w = 480, 640
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.uint8)
+    integ = integral_image_i32(img)
+
+    key_x = jnp.asarray(rng.uniform(30, w - 30, (k,)), jnp.float32)
+    key_y = jnp.asarray(rng.uniform(30, h - 30, (k,)), jnp.float32)
+    # Pattern-like tap geometry: radii up to ~13 px, sigma up to ~5.
+    ang = rng.uniform(0, 2 * np.pi, (k, p))
+    rad = rng.uniform(0, 13, (k, p))
+    pat_x = jnp.asarray(rad * np.cos(ang), jnp.float32)
+    pat_y = jnp.asarray(rad * np.sin(ang), jnp.float32)
+    pat_sigma = jnp.asarray(rng.uniform(0.3, 5.0, (k, p)), jnp.float32)
+    pat_scaling = jnp.asarray(
+        rng.integers(1, 4_000_000, (k, p)), jnp.int32
+    )
+    pat_scaling2 = jnp.asarray(
+        rng.integers(1, 4_000_000, (k, p)), jnp.int32
+    )
+
+    outs = {}
+    for mode in ("f32", "bf16_limb", "int8_limb"):
+        fn = jax.jit(
+            lambda i_, kx, ky, px, py, ps, s1, s2, m=mode: (
+                smoothed_intensity_patch(
+                    img, i_, kx, ky, px, py, ps, s1, s2,
+                    patch_h=128, patch_w=128, chunk=64, matmul=m,
+                )
+            )
+        )
+        args = (integ, key_x, key_y, pat_x, pat_y, pat_sigma,
+                pat_scaling, pat_scaling2)
+        try:
+            out = fn(*args)
+            _ = int(np.asarray(jnp.sum(out)))  # warm + force
+            for _ in range(3):
+                out = fn(*args)
+                _ = int(np.asarray(jnp.sum(out)))
+            t0 = time.perf_counter()
+            acc = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
+                            else jnp.int32)
+            iters = 8
+            for _ in range(iters):
+                out = fn(*args)
+                acc = acc + jnp.sum(out)
+            _ = int(np.asarray(acc))
+            dt = (time.perf_counter() - t0) / iters
+            outs[mode] = np.asarray(out)
+            print(f"{mode}: {dt*1e3:8.2f} ms/call ({k} kpts)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{mode}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    ref = outs.get("f32")
+    for mode, o in outs.items():
+        if ref is not None and mode != "f32":
+            eq = np.array_equal(ref, o)
+            print(f"{mode} bit-equal vs f32: {eq}")
+            if not eq:
+                d = np.abs(ref.astype(np.int64) - o.astype(np.int64))
+                print(f"  max |diff| {d.max()}, n diff {(d > 0).sum()}")
+
+
+if __name__ == "__main__":
+    main()
