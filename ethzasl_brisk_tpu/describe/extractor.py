@@ -720,6 +720,27 @@ def _describe_core(
                 scaling, scaling2, patch_h=patch_h, patch_w=patch_w,
                 row_base=row_base, frame_rows=rows,
             )
+    elif sampler == "patch_ms":
+        # Multi-size patch buckets (bit-identical; see fast_sampler
+        # docs): small-scale keypoints contract against much smaller
+        # patches, cutting the dominant MXU cost. patch_h/patch_w cap
+        # the largest bucket.
+        from ethzasl_brisk_tpu.describe.fast_sampler import (
+            smoothed_intensity_patch_ms,
+        )
+
+        sizes = tuple(
+            (min(s, patch_h), patch_w)
+            for s in (32, 64)
+            if s < patch_h
+        ) + ((patch_h, patch_w),)
+
+        def sample(px, py):
+            return smoothed_intensity_patch_ms(
+                img, integral, key_x, key_y, px, py, sigma,
+                scaling, scaling2, patch_sizes=sizes,
+                row_base=row_base, frame_rows=rows,
+            )
     else:
         def sample(px, py):
             return smoothed_intensity_u8(

@@ -352,3 +352,118 @@ def smoothed_intensity_patch(
     taps = taps.reshape(n_chunks * chunk, p, 6, 6)[:k]
 
     return _values_from_taps(taps, g, pat_scaling, pat_scaling2)
+
+
+def smoothed_intensity_patch_ms(
+    img: jnp.ndarray,
+    integral: jnp.ndarray,
+    key_x: jnp.ndarray,
+    key_y: jnp.ndarray,
+    pat_x: jnp.ndarray,
+    pat_y: jnp.ndarray,
+    pat_sigma: jnp.ndarray,
+    pat_scaling: jnp.ndarray,
+    pat_scaling2: jnp.ndarray,
+    patch_sizes: tuple = ((32, 128), (64, 128), (128, 128)),
+    chunk: int = 128,
+    row_base: jnp.ndarray | None = None,
+    frame_rows: int | None = None,
+    matmul: str = "f32",
+) -> jnp.ndarray:
+    """Multi-size patch sampler: per-keypoint patch dims by actual tap
+    extent, bit-identical to the single-size path.
+
+    The one-hot contraction's MXU cost scales with PH*PW, but only the
+    largest-scale keypoints need the full patch — most sit on pyramid
+    layer 0 with ~13 px pattern extent. Keypoints are bucketed by the
+    smallest ``patch_sizes`` entry whose anchor window contains every
+    integral tap, stably sorted by bucket, and processed in chunks where
+    a ``lax.switch`` picks the bucket's statically-shaped kernel (sorted
+    order makes chunks bucket-homogeneous, so nearly all chunks run the
+    cheap branch). Tap values are independent of the patch framing (the
+    base subtraction cancels in every tap group), so results are
+    bit-identical for any bucket assignment; the LAST size must cover
+    the maximum supported extent exactly like the single-size path.
+    """
+    rows_i, cols_i = integral.shape
+    if frame_rows is not None:
+        rows_i = frame_rows + 1
+    k, p = pat_x.shape
+    n_b = len(patch_sizes)
+
+    g = _tap_geometry(key_x, key_y, pat_x, pat_y, pat_sigma)
+    rows_q = g["row_coords"]  # (K, p, 6) absolute frame-local coords
+    cols_q = g["col_coords"]
+    tx = _trunc_i32(key_x)
+    ty = _trunc_i32(key_y)
+    rmin = rows_q.reshape(k, -1).min(axis=1)
+    rmax = rows_q.reshape(k, -1).max(axis=1)
+    cmin = cols_q.reshape(k, -1).min(axis=1)
+    cmax = cols_q.reshape(k, -1).max(axis=1)
+
+    branch = jnp.full((k,), n_b - 1, jnp.int32)
+    for b in range(n_b - 2, -1, -1):
+        ph, pw = patch_sizes[b]
+        ay = jnp.clip(ty - ph // 2, 0, max(rows_i - ph, 0))
+        ax = jnp.clip(tx - pw // 2, 0, max(cols_i - pw, 0))
+        fits = (
+            (rmin >= ay) & (rmax <= ay + ph - 1)
+            & (cmin >= ax) & (cmax <= ax + pw - 1)
+        )
+        branch = jnp.where(fits, jnp.int32(b), branch)
+
+    order = jnp.argsort(branch, stable=True)
+    inv = jnp.argsort(order, stable=True)
+
+    def take(a):
+        return jnp.take(a, order, axis=0)
+
+    tx_s, ty_s = take(tx), take(ty)
+    rows_s, cols_s = take(rows_q), take(cols_q)
+    br_s = jnp.take(branch, order)
+    rb_s = None if row_base is None else jnp.take(row_base, order)
+
+    pad_k = (-k) % chunk
+    n_chunks = (k + pad_k) // chunk
+
+    def pad0(a):
+        return jnp.pad(a, [(0, pad_k)] + [(0, 0)] * (a.ndim - 1))
+
+    tx_c = pad0(tx_s).reshape(n_chunks, chunk)
+    ty_c = pad0(ty_s).reshape(n_chunks, chunk)
+    rr_c = pad0(rows_s).reshape(n_chunks, chunk, p, 6)
+    cc_c = pad0(cols_s).reshape(n_chunks, chunk, p, 6)
+    br_c = pad0(br_s).reshape(n_chunks, chunk)
+    rb_c = (
+        jnp.zeros((n_chunks, chunk), jnp.int32)
+        if rb_s is None
+        else pad0(rb_s).reshape(n_chunks, chunk)
+    )
+
+    def make_branch(ph, pw):
+        def fn(txk, tyk, rrk, cck, rbk):
+            ayk = jnp.clip(tyk - ph // 2, 0, max(rows_i - ph, 0))
+            axk = jnp.clip(txk - pw // 2, 0, max(cols_i - pw, 0))
+            patches = _slice_patches(
+                integral, axk, ayk + rbk, ph, pw
+            )
+            rr = _rel(rrk, ayk, ph)
+            rc = _rel(cck, axk, pw)
+            return _contract_taps(patches, rr, rc, ph, pw, matmul=matmul)
+
+        return fn
+
+    branches = [make_branch(ph, pw) for ph, pw in patch_sizes]
+
+    def do_chunk(args):
+        txk, tyk, rrk, cck, brk, rbk = args
+        # Sorted order: the chunk's max bucket covers every element.
+        return jax.lax.switch(
+            jnp.max(brk), branches, txk, tyk, rrk, cck, rbk
+        )
+
+    taps = jax.lax.map(do_chunk, (tx_c, ty_c, rr_c, cc_c, br_c, rb_c))
+    taps = taps.reshape(n_chunks * chunk, p, 6, 6)[:k]
+    taps = jnp.take(taps, inv, axis=0)
+
+    return _values_from_taps(taps, g, pat_scaling, pat_scaling2)

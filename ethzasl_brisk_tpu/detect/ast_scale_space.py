@@ -979,6 +979,7 @@ def _aux_maps(layers, cand, pass1):
     exceeding the drop threshold).
     """
     inf = jnp.int32(2**31 - 1)
+    n_layers = len(layers)
     aux = []
     for i, layer in enumerate(layers):
         h, w = layer.img.shape
@@ -991,10 +992,33 @@ def _aux_maps(layers, cand, pass1):
             + jnp.arange(w, dtype=jnp.int32)[None, :]
         )
         e_patch = jnp.full((h, w), inf)
-        for dx, dy in _NEIGH8:
-            a = _shift_bool(acc, dy, dx)
-            r = _shift_i32(rm, dy, dx, fill=inf)
-            e_patch = jnp.minimum(e_patch, jnp.where(a, r, inf))
+        if i == n_layers - 1:
+            # Last layer: the float-coord patch gather touches a 4x4
+            # block, and the GetScoreMaxBelow threshold argument seeds
+            # the own 2x2 after IsMax2D alone (see ast_exact
+            # float_patch; brisk-scale-space.cc:227-241).
+            # q is touched by candidate c at q - (dx, dy):
+            # _shift_bool(m, dy, dx)[y, x] = m[y + dy, x + dx], so pass
+            # the NEGATED offsets (the symmetric 3x3 set hid the sign).
+            offs = [
+                (dx, dy) for dy in (-1, 0, 1, 2) for dx in (-1, 0, 1, 2)
+            ]
+            for dx, dy in offs:
+                a = _shift_bool(acc, -dy, -dx)
+                r = _shift_i32(rm, -dy, -dx, fill=inf)
+                e_patch = jnp.minimum(e_patch, jnp.where(a, r, inf))
+            acc2 = jnp.zeros((h, w), bool).at[ys, xs].max(
+                valid & pass1[i]["is2d"]
+            )
+            for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                a = _shift_bool(acc2, -dy, -dx)
+                r = _shift_i32(rm, -dy, -dx, fill=inf)
+                e_patch = jnp.minimum(e_patch, jnp.where(a, r, inf))
+        else:
+            for dx, dy in _NEIGH8:
+                a = _shift_bool(acc, dy, dx)
+                r = _shift_i32(rm, dy, dx, fill=inf)
+                e_patch = jnp.minimum(e_patch, jnp.where(a, r, inf))
 
         prefill = jnp.zeros((h, w), bool)
         if i >= 1:

@@ -67,6 +67,29 @@ def test_patch_sampler_bit_exact(pat):
     )
 
 
+def test_patch_ms_sampler_bit_exact(pat):
+    """Multi-size bucket sampler == gather, bit for bit (the bucket
+    assignment must not change any tap value)."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.integers(0, 256, (H, W), dtype=np.uint8))
+    kps = _random_keypoints(rng, 257)
+
+    kp_g, d_g = extract_descriptors(pat, img, kps, sampler="gather")
+    kp_m, d_m = extract_descriptors(
+        pat, img, kps, sampler="patch_ms", **PATCH
+    )
+
+    valid = np.asarray(kp_g.valid)
+    assert valid.sum() > 120
+    np.testing.assert_array_equal(valid, np.asarray(kp_m.valid))
+    np.testing.assert_array_equal(
+        np.asarray(kp_g.angle)[valid], np.asarray(kp_m.angle)[valid]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d_g)[valid], np.asarray(d_m)[valid]
+    )
+
+
 @pytest.mark.parametrize("sampler", ["gather", "patch"])
 def test_batch_describe_matches_per_frame(pat, sampler):
     rng = np.random.default_rng(1)

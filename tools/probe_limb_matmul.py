@@ -42,14 +42,18 @@ def main():
     img = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.uint8)
     integ = integral_image_i32(img)
 
-    key_x = jnp.asarray(rng.uniform(30, w - 30, (k,)), jnp.float32)
-    key_y = jnp.asarray(rng.uniform(30, h - 30, (k,)), jnp.float32)
-    # Pattern-like tap geometry: radii up to ~13 px, sigma up to ~5.
+    key_x = jnp.asarray(rng.uniform(60, w - 60, (k,)), jnp.float32)
+    key_y = jnp.asarray(rng.uniform(60, h - 60, (k,)), jnp.float32)
+    # Pattern-like tap geometry with a detector-like scale mix:
+    # ~85% layer-0 (extent ~13 px), 10% mid (~26), 5% large (~52).
+    scale_f = rng.choice([1.0, 2.0, 4.0], size=(k, 1), p=[0.85, 0.10, 0.05])
     ang = rng.uniform(0, 2 * np.pi, (k, p))
-    rad = rng.uniform(0, 13, (k, p))
+    rad = rng.uniform(0, 13, (k, p)) * scale_f
     pat_x = jnp.asarray(rad * np.cos(ang), jnp.float32)
     pat_y = jnp.asarray(rad * np.sin(ang), jnp.float32)
-    pat_sigma = jnp.asarray(rng.uniform(0.3, 5.0, (k, p)), jnp.float32)
+    pat_sigma = jnp.asarray(
+        rng.uniform(0.3, 5.0, (k, p)) * scale_f, jnp.float32
+    )
     pat_scaling = jnp.asarray(
         rng.integers(1, 4_000_000, (k, p)), jnp.int32
     )
@@ -57,16 +61,35 @@ def main():
         rng.integers(1, 4_000_000, (k, p)), jnp.int32
     )
 
-    outs = {}
-    for mode in ("f32", "bf16_limb", "int8_limb"):
-        fn = jax.jit(
-            lambda i_, kx, ky, px, py, ps, s1, s2, m=mode: (
+    from ethzasl_brisk_tpu.describe.fast_sampler import (
+        smoothed_intensity_patch_ms,
+    )
+
+    def make_fn(mode):
+        if mode.startswith("ms_"):
+            m = mode[3:]
+            return jax.jit(
+                lambda i_, kx, ky, px, py, ps, s1, s2: (
+                    smoothed_intensity_patch_ms(
+                        img, i_, kx, ky, px, py, ps, s1, s2,
+                        patch_sizes=((32, 128), (64, 128), (128, 128)),
+                        chunk=64, matmul=m,
+                    )
+                )
+            )
+        return jax.jit(
+            lambda i_, kx, ky, px, py, ps, s1, s2: (
                 smoothed_intensity_patch(
                     img, i_, kx, ky, px, py, ps, s1, s2,
-                    patch_h=128, patch_w=128, chunk=64, matmul=m,
+                    patch_h=128, patch_w=128, chunk=64, matmul=mode,
                 )
             )
         )
+
+    outs = {}
+    for mode in ("f32", "bf16_limb", "int8_limb",
+                 "ms_f32", "ms_bf16_limb", "ms_int8_limb"):
+        fn = make_fn(mode)
         args = (integ, key_x, key_y, pat_x, pat_y, pat_sigma,
                 pat_scaling, pat_scaling2)
         try:
