@@ -109,9 +109,17 @@ def subpixel2d(s, xp=jnp):
     b_max = (corner_tmp_max + coeff1 + coeff2 + coeff6) / 18.0
 
     # --- Branch C: interior solution with boundary correction.
+    # The reference divides FLOAT casts of the double numerator and
+    # denominator in float (scale-space-layer-inl.h:616-620), and every
+    # boundary delta is likewise a float division of float casts
+    # (:640-670) — under refine_dtype=float64 the pre-division rounding
+    # is observable in the last ULP of x/y (1/454 golden keypoints).
+    def f32c(v):
+        return xp.asarray(v).astype(xp.float32)
+
     safe_det = xp.where(h_det == 0, 1.0, h_det)
-    dx0 = (2 * coeff2 * coeff3 - coeff4 * coeff5) / (-safe_det)
-    dy0 = (2 * coeff1 * coeff4 - coeff3 * coeff5) / (-safe_det)
+    dx0 = f32c(2 * coeff2 * coeff3 - coeff4 * coeff5) / f32c(-safe_det)
+    dy0 = f32c(2 * coeff1 * coeff4 - coeff3 * coeff5) / f32c(-safe_det)
 
     tx = dx0 > 1.0
     tx_ = dx0 < -1.0
@@ -119,26 +127,32 @@ def subpixel2d(s, xp=jnp):
     ty_ = dy0 < -1.0
     out_of_bounds = tx | tx_ | ty | ty_
 
-    safe_c1 = xp.where(coeff1 == 0, 1.0, coeff1)
-    safe_c2 = xp.where(coeff2 == 0, 1.0, coeff2)
+    safe_c1 = f32c(xp.where(coeff1 == 0, 1.0, 2 * coeff1))
+    safe_c2 = f32c(xp.where(coeff2 == 0, 1.0, 2 * coeff2))
 
-    delta_x1 = xp.where(tx, 1.0, xp.where(tx_, -1.0, 0.0))
+    delta_x1 = xp.where(tx, 1.0, xp.where(tx_, -1.0, 0.0)).astype(
+        xp.float32
+    )
     delta_y1 = xp.where(
         tx,
-        -(coeff4 + coeff5) / (2 * safe_c2),
-        xp.where(tx_, -(coeff4 - coeff5) / (2 * safe_c2), 0.0),
-    )
+        -f32c(coeff4 + coeff5) / safe_c2,
+        xp.where(tx_, -f32c(coeff4 - coeff5) / safe_c2, 0.0),
+    ).astype(xp.float32)
     delta_y1 = xp.clip(delta_y1, -1.0, 1.0)
 
-    delta_y2 = xp.where(ty, 1.0, xp.where(ty_, -1.0, 0.0))
+    delta_y2 = xp.where(ty, 1.0, xp.where(ty_, -1.0, 0.0)).astype(
+        xp.float32
+    )
     delta_x2 = xp.where(
         ty,
-        -(coeff3 + coeff5) / (2 * safe_c1),
-        xp.where(ty_, -(coeff3 - coeff5) / (2 * safe_c1), 0.0),
-    )
+        -f32c(coeff3 + coeff5) / safe_c1,
+        xp.where(ty_, -f32c(coeff3 - coeff5) / safe_c1, 0.0),
+    ).astype(xp.float32)
     delta_x2 = xp.clip(delta_x2, -1.0, 1.0)
 
     def quad(dx, dy):
+        # Double chain over float deltas, rounded to float at the
+        # max1/max2 assignment (:672-679).
         return (
             coeff1 * dx * dx
             + coeff2 * dy * dy
@@ -148,8 +162,8 @@ def subpixel2d(s, xp=jnp):
             + coeff6
         ) / 18.0
 
-    max1 = quad(delta_x1, delta_y1)
-    max2 = quad(delta_x2, delta_y2)
+    max1 = f32c(quad(delta_x1, delta_y1))
+    max2 = f32c(quad(delta_x2, delta_y2))
     pick1 = max1 > max2
     # Faithful to the reference: both deltas get delta_x{1,2}
     # (scale-space-layer-inl.h:679-687).
