@@ -28,13 +28,20 @@ def image():
     p = TEST_DATA / "img1.pgm"
     if not p.exists():
         pytest.skip("reference test data unavailable")
-    return jnp.asarray(read_pgm(str(p)))
+    # Central crop keeps the per-test compile+run cost CI-affordable
+    # while preserving natural-image statistics.
+    return jnp.asarray(read_pgm(str(p)))[100:436, 150:598]
 
 
-def test_v1_detect_structure(image):
-    kps = detect_ast_keypoints(image, threshold=70, octaves=3, v1=True)
+@pytest.fixture(scope="module")
+def v1_kps(image):
+    return detect_ast_keypoints(image, threshold=70, octaves=3, v1=True)
+
+
+def test_v1_detect_structure(image, v1_kps):
+    kps = v1_kps
     m = np.asarray(kps.valid)
-    assert m.sum() > 200
+    assert m.sum() > 100
     size = np.asarray(kps.size)[m]
     resp = np.asarray(kps.response)[m]
     x = np.asarray(kps.x)[m]
@@ -46,20 +53,22 @@ def test_v1_detect_structure(image):
     assert (y >= 0).all() and (y < h).all()
 
 
-def test_v1_supersets_v2_accepts(image):
+def test_v1_supersets_v2_accepts(image, v1_kps):
     """v1 drops the weak/edge discard gates and the adaptive threshold
     map raises effective thresholds on low-contrast regions — v1 finds
     strictly more keypoints at the same nominal threshold."""
-    k1 = detect_ast_keypoints(image, threshold=70, octaves=3, v1=True)
     k2 = detect_ast_keypoints(image, threshold=70, octaves=3)
-    assert int(np.asarray(k1.valid).sum()) > int(np.asarray(k2.valid).sum())
+    assert (
+        int(np.asarray(v1_kps.valid).sum())
+        > int(np.asarray(k2.valid).sum())
+    )
 
 
 def test_v1_facade_end_to_end(image):
     det = BriskFeatureDetector(threshold=70, octaves=3, version="v1")
     kps, desc = det.detect_and_compute(image)
     m = np.asarray(kps.valid)
-    assert m.sum() > 200
+    assert m.sum() > 100
     d = np.asarray(desc)[m].view(np.uint8)
     # v1 ring pattern produces non-degenerate descriptors.
     bits = np.unpackbits(d, axis=1)
@@ -68,9 +77,8 @@ def test_v1_facade_end_to_end(image):
     assert np.unique(d, axis=0).shape[0] > 0.5 * m.sum()
 
 
-def test_v1_determinism(image):
-    a = detect_ast_keypoints(image, threshold=70, octaves=3, v1=True)
+def test_v1_determinism(image, v1_kps):
     b = detect_ast_keypoints(image, threshold=70, octaves=3, v1=True)
     for f in ("x", "y", "size", "response", "valid"):
-        assert np.array_equal(np.asarray(getattr(a, f)),
+        assert np.array_equal(np.asarray(getattr(v1_kps, f)),
                               np.asarray(getattr(b, f)))
