@@ -258,6 +258,11 @@ class DetectorConfig:
     # scale-space-layer-inl.h:560). float32 is the TPU-native default;
     # parity tests on CPU select float64 (requires jax_enable_x64).
     refine_dtype: str = "float32"
+    # Candidate extraction: "sort" = lax.top_k over the full H*W map;
+    # "select" = bisection threshold + prefix-compaction + k-element
+    # sort (kernels/topk.py) — bit-identical, avoids the full-map sort
+    # (~30% of detect time on TPU).
+    topk_impl: str = "sort"
 
     @property
     def n_layers(self) -> int:
@@ -378,10 +383,18 @@ def _layer_candidates(sc, mask, config):
     )
     # NOTE: lax.top_k over the full H*W map is ~30% of detect time on
     # TPU (the compact-via-nonzero + small-sort alternative measured
-    # SLOWER — jnp.nonzero itself lowers to a full-size sort). A Pallas
-    # radix-select over the VMEM-resident score map is the open lever.
+    # SLOWER — jnp.nonzero itself lowers to a full-size sort).
+    # topk_impl="select" replaces the full-map sort with bisection
+    # threshold + prefix compaction (kernels/topk.py, bit-identical).
     masked = jnp.where(mask, sc, sentinel)
-    top_scores, top_idx = jax.lax.top_k(masked.reshape(-1), k)
+    if config.topk_impl == "select" and not jnp.issubdtype(
+        sc.dtype, jnp.floating
+    ):
+        from ethzasl_brisk_tpu.kernels.topk import topk_int32
+
+        top_scores, top_idx = topk_int32(masked.reshape(-1), k)
+    else:
+        top_scores, top_idx = jax.lax.top_k(masked.reshape(-1), k)
     ys = top_idx // w
     xs = top_idx % w
     valid = jnp.take(mask.reshape(-1), top_idx)

@@ -42,6 +42,7 @@ class BriskFeature:
     max_candidates: int = 4096
     max_keypoints: int = 4096
     refine_dtype: str = "float32"
+    topk_impl: str = "sort"   # "select" = sort-free exact top-k
     sampler: str = "gather"   # descriptor sampling backend ('patch' = MXU)
     # Op-by-op detection for golden parity: XLA:CPU's x86 backend
     # FMA-contracts fused mul+add chains (flags and optimization_barrier
@@ -67,6 +68,7 @@ class BriskFeature:
                 max_candidates=self.max_candidates,
                 max_keypoints=self.max_keypoints,
                 refine_dtype=self.refine_dtype,
+                topk_impl=self.topk_impl,
             ),
         )
         object.__setattr__(
