@@ -77,6 +77,8 @@ def main() -> None:
         sampler=os.environ.get("BENCH_SAMPLER", "patch"),
         patch_h=128,
         patch_w=128,
+        # "select" = sort-free exact top-k (kernels/topk.py).
+        topk_impl=os.environ.get("BENCH_TOPK", "sort"),
     )
     mesh = make_mesh(1, 1)
     pipe = FramePipeline(feature=feature, mesh=mesh)
