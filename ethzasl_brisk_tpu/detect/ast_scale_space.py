@@ -1183,6 +1183,7 @@ def detect_ast_keypoints(
         )
 
         prefill = jnp.zeros(layers[0].img.shape, bool)
+        drop = 0 if v1 else K_DROP_THRESHOLD
         for i in range(n_layers):
             xs, ys, valid = cand[i]
             center = layers[i].cache[ys, xs]
@@ -1192,12 +1193,12 @@ def detect_ast_keypoints(
             elif i == n_layers - 1:
                 mode_b = "below_octave" if i % 2 == 0 else "below_intra"
                 gate, _, _, _ = _score_patch_max(
-                    layers[i - 1], xs, ys, center, mode_b
+                    layers[i - 1], xs, ys, center, mode_b, drop=drop
                 )
             else:
                 mode_a = "above_octave" if i % 2 == 0 else "above_intra"
                 ga, _, _, _ = _score_patch_max(
-                    layers[i + 1], xs, ys, center, mode_a
+                    layers[i + 1], xs, ys, center, mode_a, drop=drop
                 )
                 if i == 0:
                     gb = ones  # layer-0 below-guess (5_8) never rejects
@@ -1206,7 +1207,7 @@ def detect_ast_keypoints(
                         "below_octave" if i % 2 == 0 else "below_intra"
                     )
                     gb, _, _, _ = _score_patch_max(
-                        layers[i - 1], xs, ys, center, mode_b
+                        layers[i - 1], xs, ys, center, mode_b, drop=drop
                     )
                 gate = ga & gb
             is2d = exact_is2d_layer(
