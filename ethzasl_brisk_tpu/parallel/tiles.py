@@ -37,6 +37,8 @@ Design (one ``shard_map`` over the whole detect):
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -328,18 +330,24 @@ def detect_keypoints_tiled(
     for i in range(2, n_layers):
         widths.append(widths[i - 2] // 2)
 
-    @jax.jit
-    def finish(merged):
-        out = []
-        for i, (xs_m, ys_m, sc_m, v_m, p_m) in enumerate(merged):
-            accept = _layer_accept(
-                (xs_m, ys_m, sc_m, v_m), (heights[i], widths[i]), config
-            )
-            out.append(
-                refine_from_patches(
-                    p_m, xs_m, ys_m, sc_m, accept, geoms[i], config
-                )
-            )
-        return KeyPoints.concatenate(out)
+    return _finish(
+        merged, config, tuple(geoms), tuple(heights), tuple(widths)
+    )
 
-    return finish(merged)
+
+@partial(
+    jax.jit, static_argnames=("config", "geoms", "heights", "widths")
+)
+def _finish(merged, config, geoms, heights, widths):
+    """Replicated accept+refine (module-level jit: caches per config)."""
+    out = []
+    for i, (xs_m, ys_m, sc_m, v_m, p_m) in enumerate(merged):
+        accept = _layer_accept(
+            (xs_m, ys_m, sc_m, v_m), (heights[i], widths[i]), config
+        )
+        out.append(
+            refine_from_patches(
+                p_m, xs_m, ys_m, sc_m, accept, geoms[i], config
+            )
+        )
+    return KeyPoints.concatenate(out)
