@@ -127,16 +127,20 @@ def subpixel2d(s, xp=jnp):
     ty_ = dy0 < -1.0
     out_of_bounds = tx | tx_ | ty | ty_
 
-    safe_c1 = f32c(xp.where(coeff1 == 0, 1.0, 2 * coeff1))
-    safe_c2 = f32c(xp.where(coeff2 == 0, 1.0, 2 * coeff2))
+    # No zero guard on the divisors: the reference divides by
+    # float(2*coeff) directly (:641-670) — a zero coefficient yields
+    # +-inf (clipped to +-1 below) or NaN for 0/0, which its two-sided
+    # `if >1 / if <-1` clip keeps, exactly like xp.clip.
+    div_c1 = f32c(2 * coeff1)
+    div_c2 = f32c(2 * coeff2)
 
     delta_x1 = xp.where(tx, 1.0, xp.where(tx_, -1.0, 0.0)).astype(
         xp.float32
     )
     delta_y1 = xp.where(
         tx,
-        -f32c(coeff4 + coeff5) / safe_c2,
-        xp.where(tx_, -f32c(coeff4 - coeff5) / safe_c2, 0.0),
+        -f32c(coeff4 + coeff5) / div_c2,
+        xp.where(tx_, -f32c(coeff4 - coeff5) / div_c2, 0.0),
     ).astype(xp.float32)
     delta_y1 = xp.clip(delta_y1, -1.0, 1.0)
 
@@ -145,8 +149,8 @@ def subpixel2d(s, xp=jnp):
     )
     delta_x2 = xp.where(
         ty,
-        -f32c(coeff3 + coeff5) / safe_c1,
-        xp.where(ty_, -f32c(coeff3 - coeff5) / safe_c1, 0.0),
+        -f32c(coeff3 + coeff5) / div_c1,
+        xp.where(ty_, -f32c(coeff3 - coeff5) / div_c1, 0.0),
     ).astype(xp.float32)
     delta_x2 = xp.clip(delta_x2, -1.0, 1.0)
 
