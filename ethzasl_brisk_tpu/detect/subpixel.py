@@ -127,12 +127,15 @@ def subpixel2d(s, xp=jnp):
     ty_ = dy0 < -1.0
     out_of_bounds = tx | tx_ | ty | ty_
 
-    # No zero guard on the divisors: the reference divides by
-    # float(2*coeff) directly (:641-670) — a zero coefficient yields
-    # +-inf (clipped to +-1 below) or NaN for 0/0, which its two-sided
-    # `if >1 / if <-1` clip keeps, exactly like xp.clip.
-    div_c1 = f32c(2 * coeff1)
-    div_c2 = f32c(2 * coeff2)
+    # The reference divides by float(2*coeff) directly (:641-670); this
+    # branch is only SELECTED when h_det > 0 and coeff1 < 0, which
+    # forces coeff2 < 0 too — so on every lane whose result survives
+    # the final where-select both divisors are strictly nonzero and the
+    # guard below never changes a selected value. It exists purely to
+    # keep discarded lanes finite (no divide-by-zero RuntimeWarnings on
+    # the NumPy host-test path, no NaNs under jax_debug_nans).
+    div_c1 = f32c(xp.where(coeff1 == 0, 1.0, 2 * coeff1))
+    div_c2 = f32c(xp.where(coeff2 == 0, 1.0, 2 * coeff2))
 
     delta_x1 = xp.where(tx, 1.0, xp.where(tx_, -1.0, 0.0)).astype(
         xp.float32
