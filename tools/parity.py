@@ -223,5 +223,10 @@ if __name__ == "__main__":
         run_harris()
     elif which == "ast":
         run_ast(sys.argv[2] if len(sys.argv) > 2 else "exact")
+    elif which == "all":
+        run_harris()
+        run_ast("exact")
     else:
-        raise SystemExit(f"unknown pipeline {which!r}; use harris|ast")
+        raise SystemExit(
+            f"unknown pipeline {which!r}; use harris|ast|all"
+        )
