@@ -90,7 +90,7 @@ def test_patch_ms_sampler_bit_exact(pat):
     )
 
 
-@pytest.mark.parametrize("sampler", ["gather", "patch"])
+@pytest.mark.parametrize("sampler", ["gather", "patch", "patch_ms"])
 def test_batch_describe_matches_per_frame(pat, sampler):
     rng = np.random.default_rng(1)
     b, k = 4, 97
@@ -115,7 +115,7 @@ def test_batch_describe_matches_per_frame(pat, sampler):
         }
     )
 
-    kw = dict(sampler=sampler, **(PATCH if sampler == "patch" else {}))
+    kw = dict(sampler=sampler, **(PATCH if sampler.startswith("patch") else {}))
     kp_b, d_b = extract_descriptors_batch(pat, imgs, batched, **kw)
 
     for i in range(b):
