@@ -66,6 +66,7 @@ def above_scan_stamps(
     ys: jnp.ndarray,
     thr: jnp.ndarray,
     mode: str,  # above_octave | above_intra
+    drop: int | None = None,
 ):
     """Exact GetScoreMaxAbove touch stamps (brisk-scale-space.cc:757-867).
 
@@ -82,7 +83,9 @@ def above_scan_stamps(
         _cache_score,
     )
 
-    threshold = (thr + K_DROP_THRESHOLD).astype(f32)
+    if drop is None:
+        drop = K_DROP_THRESHOLD
+    threshold = (thr + drop).astype(f32)
     xsf = xs.astype(f32)
     ysf = ys.astype(f32)
     # Literal types mirror the reference: octave `/ 6.0` is a DOUBLE

@@ -1220,7 +1220,7 @@ def detect_ast_keypoints(
             if i + 1 < n_layers:
                 mode_a = "above_octave" if i % 2 == 0 else "above_intra"
                 ax_, ay_, stamp = above_scan_stamps(
-                    layers[i + 1], xs, ys, center, mode_a
+                    layers[i + 1], xs, ys, center, mode_a, drop=drop
                 )
                 prefill = scatter_stamps(
                     layers[i + 1], ax_, ay_, stamp, valid & is2d

@@ -48,6 +48,7 @@ from ethzasl_brisk_tpu.core.keypoints import KeyPoints
 from ethzasl_brisk_tpu.detect.scale_space import (
     INT32_MIN,
     DetectorConfig,
+    _shift2d,
     _layer_accept,
     _trunc_div,
     build_pyramid,
@@ -148,14 +149,10 @@ def _warp_rows_split(src_ext, src_row0, src_h_global, affine,
 
 
 def _shift_cols(x, dx, fill):
-    """Column shift only (rows come pre-extended): out[:, j] = x[:, j+dx]."""
-    if dx == 0:
-        return x
-    h, w = x.shape
-    out = jnp.full_like(x, fill)
-    if dx > 0:
-        return out.at[:, : w - dx].set(x[:, dx:])
-    return out.at[:, -dx:].set(x[:, : w + dx])
+    """Column shift only (rows come pre-extended): out[:, j] = x[:, j+dx].
+    Delegates to the dense path's _shift2d so edge/fill semantics can
+    never diverge between the two implementations."""
+    return _shift2d(x, 0, dx, fill)
 
 
 def detect_keypoints_tiled(
@@ -176,10 +173,11 @@ def detect_keypoints_tiled(
     n_layers = config.n_layers
     geoms = [layer_geometry(i) for i in range(n_layers)]
 
-    # Static layer heights (mirror build_pyramid geometry).
+    # Static layer heights (mirror the actual downsampler shapes:
+    # two-thirds = (h//3)*2, half = h//2 — kernels/downsample.py).
     heights = [h]
     if n_layers > 1:
-        heights.append(h * 2 // 3)
+        heights.append(h // 3 * 2)
     for i in range(2, n_layers):
         heights.append(heights[i - 2] // 2)
     for i, hl in enumerate(heights):
@@ -188,6 +186,14 @@ def detect_keypoints_tiled(
                 f"layer {i} height {hl} not divisible by {n} tiles"
             )
         tl = hl // n
+        if tl < IMG_HALO:
+            # The single-hop ppermute exchange clamps x[-halo:] when the
+            # tile has fewer than IMG_HALO rows, silently shifting every
+            # global-row label — refuse instead of corrupting.
+            raise ValueError(
+                f"layer {i} tile height {tl} < IMG_HALO {IMG_HALO} "
+                "(use fewer tiles or fewer octaves)"
+            )
         # Tile rows must stay group-aligned for the LOCAL downsamplers
         # feeding deeper layers: 2/3-sample consumes 3-row groups,
         # half-sample consumes 2-row groups.
@@ -326,7 +332,7 @@ def detect_keypoints_tiled(
     # refine by 1 ULP vs the dense pipeline; a plain jit is bit-equal).
     widths = [w]
     if n_layers > 1:
-        widths.append(w * 2 // 3)
+        widths.append(w // 3 * 2)
     for i in range(2, n_layers):
         widths.append(widths[i - 2] // 2)
 

@@ -87,3 +87,13 @@ def test_tiled_rejects_misaligned():
     img = jnp.zeros((484, 640), jnp.uint8)
     with pytest.raises(ValueError):
         detect_keypoints_tiled(img, DetectorConfig(octaves=2), mesh)
+
+
+def test_tiled_rejects_thin_tiles():
+    """Tile heights below IMG_HALO would silently truncate the ppermute
+    halo (found by review: 192x384 octaves=3 passed the divisibility
+    checks but corrupted layer 5) — must refuse."""
+    mesh = _mesh(8)
+    img = jnp.zeros((192, 384), jnp.uint8)
+    with pytest.raises(ValueError, match="IMG_HALO"):
+        detect_keypoints_tiled(img, DetectorConfig(octaves=3), mesh)

@@ -14,7 +14,8 @@ from ethzasl_brisk_tpu.kernels.topk import INT32_MIN, topk_int32  # noqa: E402
 
 @pytest.mark.parametrize("kind", ["uniform", "ties", "sparse", "const"])
 def test_topk_matches_lax(kind):
-    rng = np.random.default_rng(hash(kind) % 2**31)
+    seeds = {"uniform": 101, "ties": 202, "sparse": 303, "const": 404}
+    rng = np.random.default_rng(seeds[kind])
     n, k = 200_000, 4096
     if kind == "uniform":
         x = rng.integers(-2**31, 2**31 - 1, n, dtype=np.int64).astype(

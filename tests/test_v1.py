@@ -73,7 +73,9 @@ def test_v1_facade_end_to_end(image):
     # v1 ring pattern produces non-degenerate descriptors.
     bits = np.unpackbits(d, axis=1)
     pop = bits.sum(axis=1)
-    assert pop.min() >= 0 and pop.max() <= bits.shape[1]
+    # Non-degenerate: most descriptors have a real mix of 0/1 bits.
+    frac = pop / bits.shape[1]
+    assert ((frac > 0.05) & (frac < 0.95)).mean() > 0.9
     assert np.unique(d, axis=0).shape[0] > 0.5 * m.sum()
 
 

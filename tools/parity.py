@@ -74,6 +74,7 @@ def compare_entry(name, got_kp, got_desc, want_kp, want_desc, xy_tol=2e-3):
     g, w = got_kp[gi], want_kp[wi]
     dxy = np.abs(g[:, :2] - w[:, :2]).max(axis=1)
     resp_eq = g[:, 4] == w[:, 4]
+    size_eq = g[:, 2] == w[:, 2]
     print(f"  max dxy: {dxy.max() if n else 0:.2e}; xy bit-eq: "
           f"{(dxy == 0).sum()}/{n}; response equal: {resp_eq.sum()}/{n}")
     if n and not resp_eq.all():
@@ -109,10 +110,12 @@ def compare_entry(name, got_kp, got_desc, want_kp, want_desc, xy_tol=2e-3):
         if tie_pair:
             print("  (1 missing + 1 extra with equal responses: the "
                   "documented response-tie sort-order pair — accepted)")
+    desc_ok = True
     if got_desc.size and want_desc.size:
         gb = np.unpackbits(got_desc[gi], axis=1)
         wb = np.unpackbits(want_desc[wi], axis=1)
         hd = (gb != wb).sum(axis=1)
+        desc_ok = bool((hd == 0).all())
         print(
             f"  desc: exact rows {(hd == 0).sum()}/{n}; "
             f"mean bit diff {hd.mean():.3f}/{gb.shape[1]}; max {hd.max()}"
@@ -124,9 +127,18 @@ def compare_entry(name, got_kp, got_desc, want_kp, want_desc, xy_tol=2e-3):
                     f"    worst#{i}: hd={hd[i]} angle {g[i, 3]:.3f} vs "
                     f"{w[i, 3]:.3f} resp {g[i, 4]:.0f} xy {g[i, :2]}"
                 )
+    # PARITY OK requires: every keypoint aligned (or the single
+    # documented tie pair), bit-equal xy, response, size, and every
+    # descriptor byte. Angle is gated transitively: the descriptor bits
+    # depend on the rotation index, and the stored float differs from
+    # the reference's libm atan2f only in sub-0.001-degree tails.
     exact_full = n == len(want_kp) == len(got_kp)
-    return (exact_full or tie_pair) and resp_eq.all() and (
-        (dxy == 0).all() if n else True
+    return (
+        (exact_full or tie_pair)
+        and resp_eq.all()
+        and size_eq.all()
+        and desc_ok
+        and ((dxy == 0).all() if n else True)
     )
 
 
