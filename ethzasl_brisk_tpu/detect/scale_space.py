@@ -281,6 +281,7 @@ def detect_keypoints(
     reference's 16-bit pipeline (HarrisScoreCalculatorFloat accepts
     CV_16U, harris-score-calculator-float.cc:115). Jit-compatible.
     """
+    base_masks: list[jnp.ndarray] | None = None
     if score_fn is None:
         if img.dtype == jnp.uint16:
             from ethzasl_brisk_tpu.kernels.harris import harris_score_f32
@@ -297,7 +298,24 @@ def detect_keypoints(
     n_layers = config.n_layers
     pyramid = build_pyramid(img, n_layers)
     geoms = [layer_geometry(i) for i in range(n_layers)]
-    scores = [score_fn(im) for im in pyramid]
+    if img.dtype != jnp.uint16 and score_fn.__name__ == (
+        "harris_score_i32_fused"
+    ):
+        # Harris + NMS/threshold mask in ONE VMEM pass (bit-equal to
+        # score_fn + maxima2d_mask; saves a score-map HBM round trip
+        # per layer).
+        from ethzasl_brisk_tpu.kernels.pallas_harris import (
+            harris_score_mask_fused,
+        )
+
+        pairs = [
+            harris_score_mask_fused(im, int(config.absolute_threshold))
+            for im in pyramid
+        ]
+        scores = [p[0] for p in pairs]
+        base_masks = [p[1] for p in pairs]
+    else:
+        scores = [score_fn(im) for im in pyramid]
     is_float = jnp.issubdtype(scores[0].dtype, jnp.floating)
     abs_thr = (
         float(config.absolute_threshold)
@@ -310,7 +328,11 @@ def detect_keypoints(
     for i in range(n_layers):
         sc = scores[i]
         h, w = sc.shape
-        mask = maxima2d_mask(sc, abs_thr)
+        mask = (
+            base_masks[i]
+            if base_masks is not None
+            else maxima2d_mask(sc, abs_thr)
+        )
 
         if i + 1 < n_layers:
             # Check above: the truncated one_over_scale_above == 1

@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ethzasl_brisk_tpu.kernels.harris import harris_score_i32
+from ethzasl_brisk_tpu.kernels.nms import maxima2d_mask
 
 
 def _roll2(x, dy, dx):
@@ -168,3 +169,149 @@ def harris_score_i32_fused(img: jnp.ndarray) -> jnp.ndarray:
     if jax.default_backend() != "tpu" or _pick_tile(img.shape[0]) is None:
         return harris_score_i32(img)
     return _fused_single(img)
+
+
+# ---------------------------------------------------------------------------
+# Harris + 2-D maxima mask in ONE VMEM pass.
+# ---------------------------------------------------------------------------
+def _harris_mask_tile_kernel(
+    th, h, w_real, thr, img_ref, out_ref, mask_ref, tile_ref, sem
+):
+    """Score tile + NMS/threshold mask tile, fused.
+
+    The separate ``maxima2d_mask`` pass re-reads the 1.2 MB score map
+    from HBM and writes a mask map per layer; computing both in the
+    tile's VMEM saves those round trips. Semantics are bit-equal to
+    ``kernels.nms.maxima2d_mask``: for every in-border output cell the
+    8 neighbor taps are real cells (rolled halo rows are computed, and
+    border zeroing matches the dense kernel), so the padded-with-min
+    construction of the dense path is never observable.
+    """
+    t = pl.program_id(1)
+    b = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        img_ref.at[b, pl.ds(t * th, th + 8), :], tile_ref, sem
+    )
+    cp.start()
+    cp.wait()
+
+    p = tile_ref[...].astype(jnp.int32)
+    rows_l = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    grow = rows_l + t * th - 4
+    w = w_real
+    interior = (
+        (grow >= 1) & (grow < h - 1) & (cols >= 1) & (cols < w - 1)
+    )
+
+    n = {
+        (dy, dx): _roll2(p, dy, dx)
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0)
+    }
+    dx = (
+        10 * (n[(0, -1)] - n[(0, 1)])
+        + 3 * (n[(-1, -1)] - n[(-1, 1)])
+        + 3 * (n[(1, -1)] - n[(1, 1)])
+    ) << 3
+    dy = (
+        10 * (n[(-1, 0)] - n[(1, 0)])
+        + 3 * (n[(-1, -1)] - n[(1, -1)])
+        + 3 * (n[(-1, 1)] - n[(1, 1)])
+    ) << 3
+    dx = jnp.where(interior, dx, 0)
+    dy = jnp.where(interior, dy, 0)
+
+    dxdx = (dx * dx) >> 16
+    dydy = (dy * dy) >> 16
+    dxdy = (dx * dy) >> 16
+
+    def smooth(v):
+        s = (
+            4 * v
+            + 2 * (_roll2(v, -1, 0) + _roll2(v, 1, 0)
+                   + _roll2(v, 0, -1) + _roll2(v, 0, 1))
+            + _roll2(v, -1, -1) + _roll2(v, -1, 1)
+            + _roll2(v, 1, -1) + _roll2(v, 1, 1)
+        )
+        return s >> 4
+
+    sxx = smooth(dxdx)
+    syy = smooth(dydy)
+    sxy = smooth(dxdy)
+
+    trace_half = (sxx + syy) >> 1
+    raw = sxx * syy - sxy * sxy - ((trace_half * trace_half) >> 2)
+
+    valid = (grow >= 2) & (grow < h - 2) & (cols >= 2) & (cols < w - 2)
+    score = jnp.where(valid, raw, 0)
+
+    # 8-neighbor max over the zeroed ext score tile: output rows
+    # [4, th+4) read rolled rows 3..th+4 (computed) and the in-border
+    # column taps are all real cells — identical to maxima2d_mask.
+    neigh = score
+    first = True
+    for ddy in (-1, 0, 1):
+        for ddx in (-1, 0, 1):
+            if (ddy, ddx) == (0, 0):
+                continue
+            v = _roll2(score, ddy, ddx)
+            neigh = v if first else jnp.maximum(neigh, v)
+            first = False
+    mask = valid & (score >= thr) & (neigh <= score)
+
+    out_ref[0] = score[4 : th + 4, :]
+    mask_ref[0] = mask[4 : th + 4, :]
+
+
+@functools.partial(jax.jit, static_argnames=("thr", "interpret"))
+def harris_score_mask_batch_pallas(
+    imgs: jnp.ndarray, *, thr: int, interpret: bool = False
+):
+    """(B, H, W) uint8 -> (scores int32, maxima mask bool), fused."""
+    b, h, w = imgs.shape
+    th = _pick_tile(h)
+    if th is None:
+        sc = jax.vmap(harris_score_i32)(imgs)
+        return sc, jax.vmap(lambda s: maxima2d_mask(s, thr))(sc)
+    w_pad = -(-w // 128) * 128
+    padded = jnp.pad(imgs, ((0, 0), (4, 4), (0, w_pad - w)))
+    kernel = functools.partial(_harris_mask_tile_kernel, th, h, w, thr)
+    out, mask = pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec(
+                (1, th, w_pad), lambda i, t: (i, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, th, w_pad), lambda i, t: (i, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, h, w_pad), jnp.bool_),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th + 8, w_pad), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(padded)
+    if w_pad != w:
+        out = out[:, :, :w]
+        mask = mask[:, :, :w]
+    return out, mask
+
+
+def harris_score_mask_fused(img: jnp.ndarray, thr: int):
+    """(score, maxima mask) — fused Pallas on TPU, jnp elsewhere."""
+    if jax.default_backend() != "tpu" or _pick_tile(img.shape[0]) is None:
+        sc = harris_score_i32(img)
+        return sc, maxima2d_mask(sc, thr)
+    sc, mask = harris_score_mask_batch_pallas(img[None], thr=thr)
+    return sc[0], mask[0]
