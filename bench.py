@@ -79,6 +79,7 @@ def main() -> None:
         patch_w=128,
         # "select" = sort-free exact top-k (kernels/topk.py).
         topk_impl=os.environ.get("BENCH_TOPK", "sort"),
+        fused_mask=bool(os.environ.get("BENCH_FUSED_MASK")),
     )
     mesh = make_mesh(1, 1)
     pipe = FramePipeline(feature=feature, mesh=mesh)

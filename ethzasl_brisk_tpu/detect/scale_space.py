@@ -263,6 +263,10 @@ class DetectorConfig:
     # sort (kernels/topk.py) — bit-identical, avoids the full-map sort
     # (~30% of detect time on TPU).
     topk_impl: str = "sort"
+    # Fuse the NMS/threshold mask into the Pallas Harris pass
+    # (bit-identical; interpret-mode validated, off until measured on
+    # real TPU hardware — flip after a clean bench run).
+    fused_mask: bool = False
 
     @property
     def n_layers(self) -> int:
@@ -298,8 +302,10 @@ def detect_keypoints(
     n_layers = config.n_layers
     pyramid = build_pyramid(img, n_layers)
     geoms = [layer_geometry(i) for i in range(n_layers)]
-    if img.dtype != jnp.uint16 and score_fn.__name__ == (
-        "harris_score_i32_fused"
+    if (
+        config.fused_mask
+        and img.dtype != jnp.uint16
+        and score_fn.__name__ == "harris_score_i32_fused"
     ):
         # Harris + NMS/threshold mask in ONE VMEM pass (bit-equal to
         # score_fn + maxima2d_mask; saves a score-map HBM round trip

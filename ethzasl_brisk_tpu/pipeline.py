@@ -43,6 +43,7 @@ class BriskFeature:
     max_keypoints: int = 4096
     refine_dtype: str = "float32"
     topk_impl: str = "sort"   # "select" = sort-free exact top-k
+    fused_mask: bool = False  # fuse NMS mask into the Pallas pass
     sampler: str = "gather"   # descriptor sampling backend ('patch' = MXU)
     # Op-by-op detection for golden parity: XLA:CPU's x86 backend
     # FMA-contracts fused mul+add chains (flags and optimization_barrier
@@ -69,6 +70,7 @@ class BriskFeature:
                 max_keypoints=self.max_keypoints,
                 refine_dtype=self.refine_dtype,
                 topk_impl=self.topk_impl,
+                fused_mask=self.fused_mask,
             ),
         )
         object.__setattr__(
