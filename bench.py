@@ -74,10 +74,15 @@ def main() -> None:
         # sampler (tests/test_fast_sampler.py) and ~5x faster at bench
         # keypoint counts; 128px patches cover every scale the octaves=2
         # detector emits (max size ~54 -> extent ~56 <= 128/2 - 2 + 2).
-        sampler=os.environ.get("BENCH_SAMPLER", "patch"),
+        # patch_ms adds multi-size buckets (small keypoints use small
+        # patches): measured 51.2 -> 68.9 fps end-to-end on the TPU
+        # slice, bit-equal (tools/bench_matrix.py, 2026-08-19).
+        sampler=os.environ.get("BENCH_SAMPLER", "patch_ms"),
         patch_h=128,
         patch_w=128,
-        # "select" = sort-free exact top-k (kernels/topk.py).
+        # "select" = sort-free exact top-k (kernels/topk.py). Measured
+        # SLOWER end-to-end at bench shapes (45.2 vs 51.2 fps) despite
+        # the standalone top_k win — keep "sort" default.
         topk_impl=os.environ.get("BENCH_TOPK", "sort"),
         fused_mask=bool(os.environ.get("BENCH_FUSED_MASK")),
     )

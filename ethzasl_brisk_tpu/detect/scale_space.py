@@ -267,6 +267,10 @@ class DetectorConfig:
     # (bit-identical; interpret-mode validated, off until measured on
     # real TPU hardware — flip after a clean bench run).
     fused_mask: bool = False
+    # Uniformity interaction block size: the greedy pass serializes over
+    # ceil(max_candidates / block) blocks; larger blocks shorten the
+    # sequential chain at quadratic (B, B) pair-matrix cost.
+    uniformity_block: int = 256
 
     @property
     def n_layers(self) -> int:
@@ -438,6 +442,7 @@ def _layer_accept(cand, shape, config):
             xs, ys, top_scores, valid, rows=h, cols=w,
             radius=float(config.uniformity_radius),
             max_num_kpt=min(config.max_num_kpt, k),
+            block=config.uniformity_block,
         )
     return bucket_keypoints(
         xs, ys, valid, rows=h, cols=w,

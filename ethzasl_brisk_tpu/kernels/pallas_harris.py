@@ -308,10 +308,30 @@ def harris_score_mask_batch_pallas(
     return out, mask
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_mask_single(thr: int):
+    """Per-threshold custom-vmap wrapper: vmap cannot lift the manual-DMA
+    (HBM-space) input block spec, so batched calls route into the
+    kernel's own (B, tiles) grid (same trick as ``_fused_single``)."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(img: jnp.ndarray):
+        sc, mask = harris_score_mask_batch_pallas(img[None], thr=thr)
+        return sc[0], mask[0]
+
+    @fn.def_vmap
+    def _vmap(axis_size, in_batched, imgs):
+        del axis_size
+        assert in_batched[0]
+        sc, mask = harris_score_mask_batch_pallas(imgs, thr=thr)
+        return (sc, mask), (True, True)
+
+    return fn
+
+
 def harris_score_mask_fused(img: jnp.ndarray, thr: int):
     """(score, maxima mask) — fused Pallas on TPU, jnp elsewhere."""
     if jax.default_backend() != "tpu" or _pick_tile(img.shape[0]) is None:
         sc = harris_score_i32(img)
         return sc, maxima2d_mask(sc, thr)
-    sc, mask = harris_score_mask_batch_pallas(img[None], thr=thr)
-    return sc[0], mask[0]
+    return _fused_mask_single(int(thr))(img)

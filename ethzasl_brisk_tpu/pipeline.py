@@ -44,6 +44,7 @@ class BriskFeature:
     refine_dtype: str = "float32"
     topk_impl: str = "sort"   # "select" = sort-free exact top-k
     fused_mask: bool = False  # fuse NMS mask into the Pallas pass
+    uniformity_block: int = 256  # greedy-uniformity interaction block
     sampler: str = "gather"   # descriptor sampling backend ('patch' = MXU)
     # Op-by-op detection for golden parity: XLA:CPU's x86 backend
     # FMA-contracts fused mul+add chains (flags and optimization_barrier
@@ -71,6 +72,7 @@ class BriskFeature:
                 refine_dtype=self.refine_dtype,
                 topk_impl=self.topk_impl,
                 fused_mask=self.fused_mask,
+                uniformity_block=self.uniformity_block,
             ),
         )
         object.__setattr__(
