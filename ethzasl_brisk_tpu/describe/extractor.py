@@ -42,6 +42,56 @@ def _trunc_div(val: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.where(val >= 0, val // d, -((-val) // d))
 
 
+# Optional probe sink: when a list, the exact-angle host callback appends
+# (d0, d1) integer direction sums (tools/probe_angle.py uses this to
+# discriminate candidate C++ float-promotion chains against the goldens).
+_ANGLE_DEBUG_SINK: list | None = None
+
+
+def _exact_angle_host(
+    d0: np.ndarray, d1: np.ndarray, given_angle: np.ndarray, need: np.ndarray
+):
+    """Reference-exact orientation angle + rotation index, on host libm.
+
+    Mirrors brisk-descriptor-extractor.cc:732-739 exactly:
+
+    * ``atan2(static_cast<float>(direction1), static_cast<float>(direction0))``
+      resolves to the C ``atan2(double, double)`` (float args promoted —
+      verified against the goldens by tools/probe_angle.py: the double
+      chain matches 454/454 + 443/443 angles bit-for-bit, the libm
+      ``atan2f`` float-overload chain only ~55%);
+    * ``/ M_PI * 180.0`` stays in double; the result rounds ONCE on
+      assignment to the float ``kp.angle``;
+    * ``theta = int((n_rot_ * angle) / 360.0 + 0.5)`` — the product is
+      float32 (int x float), the division/add run in double, the int cast
+      truncates toward zero; negative thetas wrap by +n_rot_.
+
+    XLA's f32 arctan2 approximation differs from libm in the last ULP and
+    the jit path divides by pi in f32, so bit-exact angles require this
+    host path (CPU parity harnesses only; the TPU default keeps the
+    on-device f32 chain, whose descriptors are identical because the
+    1024-bin rotation quantization absorbs the ULP).
+    """
+    if _ANGLE_DEBUG_SINK is not None:
+        _ANGLE_DEBUG_SINK.append(
+            (np.asarray(d0).copy(), np.asarray(d1).copy())
+        )
+    a64 = np.arctan2(
+        np.asarray(d1).astype(np.float32).astype(np.float64),
+        np.asarray(d0).astype(np.float32).astype(np.float64),
+    )  # libm atan2 in double of the float-cast sums
+    computed = (a64 / np.pi * 180.0).astype(np.float32)
+    ang = np.where(
+        np.asarray(need), computed, np.asarray(given_angle)
+    ).astype(np.float32)
+    theta = np.trunc(
+        (np.float32(N_ROT) * ang).astype(np.float64) / 360.0 + 0.5
+    ).astype(np.int32)
+    theta = np.where(theta < 0, theta + N_ROT, theta)
+    theta = np.where(theta >= N_ROT, theta - N_ROT, theta)
+    return ang, theta.astype(np.int32)
+
+
 def _trunc_i32(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.trunc(x).astype(jnp.int32)
 
@@ -403,6 +453,9 @@ class BriskExtractor:
     sampler: str = "gather"
     patch_h: int = 192
     patch_w: int = 192
+    # Bit-exact reference angle/theta via host libm (CPU parity path;
+    # see _exact_angle_host).
+    angle_exact: bool = False
 
     def __post_init__(self):
         if self.pattern_file is not None:
@@ -457,6 +510,7 @@ class BriskExtractor:
             patch_h=self.patch_h,
             patch_w=self.patch_w,
             skip_small=self._skip_small,
+            angle_exact=self.angle_exact,
         )
 
 
@@ -489,7 +543,7 @@ def scale_index(size: jnp.ndarray, scale_invariant: bool) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "rotation_invariant", "scale_invariant", "sampler", "patch_h",
-        "patch_w", "skip_small",
+        "patch_w", "skip_small", "angle_exact",
     ),
 )
 def extract_descriptors(
@@ -503,6 +557,7 @@ def extract_descriptors(
     patch_h: int = 192,
     patch_w: int = 192,
     skip_small: bool = False,
+    angle_exact: bool = False,
 ) -> tuple[KeyPoints, jnp.ndarray]:
     """BRISK description with the pattern as a runtime pytree argument.
 
@@ -525,7 +580,7 @@ def extract_descriptors(
         rotation_invariant=rotation_invariant,
         scale_invariant=scale_invariant,
         sampler=sampler, patch_h=patch_h, patch_w=patch_w,
-        skip_small=skip_small,
+        skip_small=skip_small, angle_exact=angle_exact,
     )
 
 
@@ -533,7 +588,7 @@ def extract_descriptors(
     jax.jit,
     static_argnames=(
         "rotation_invariant", "scale_invariant", "sampler", "patch_h",
-        "patch_w", "skip_small",
+        "patch_w", "skip_small", "angle_exact",
     ),
 )
 def extract_descriptors_batch(
@@ -547,6 +602,7 @@ def extract_descriptors_batch(
     patch_h: int = 192,
     patch_w: int = 192,
     skip_small: bool = False,
+    angle_exact: bool = False,
 ) -> tuple[KeyPoints, jnp.ndarray]:
     """Batched description as ONE flat call (no per-frame vmap).
 
@@ -606,7 +662,7 @@ def _stack_frames(imgs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     jax.jit,
     static_argnames=(
         "rotation_invariant", "scale_invariant", "sampler", "patch_h",
-        "patch_w", "skip_small",
+        "patch_w", "skip_small", "angle_exact",
     ),
 )
 def extract_descriptors_views(
@@ -621,6 +677,7 @@ def extract_descriptors_views(
     patch_h: int = 192,
     patch_w: int = 192,
     skip_small: bool = False,
+    angle_exact: bool = False,
     view_cols: jnp.ndarray | None = None,  # (V,) i32 true view widths
     view_rows: jnp.ndarray | None = None,  # (V,) i32 true view heights
 ) -> tuple[KeyPoints, jnp.ndarray]:
@@ -645,7 +702,7 @@ def extract_descriptors_views(
         rotation_invariant=rotation_invariant,
         scale_invariant=scale_invariant,
         sampler=sampler, patch_h=patch_h, patch_w=patch_w,
-        skip_small=skip_small,
+        skip_small=skip_small, angle_exact=angle_exact,
         col_limit=None if view_cols is None else view_cols[view_idx],
         row_limit=None if view_rows is None else view_rows[view_idx],
     )
@@ -666,6 +723,7 @@ def _describe_core(
     patch_h: int,
     patch_w: int,
     skip_small: bool,
+    angle_exact: bool = False,
     col_limit: jnp.ndarray | None = None,  # (K,) per-keypoint true width
     row_limit: jnp.ndarray | None = None,
 ) -> tuple[KeyPoints, jnp.ndarray]:
@@ -762,15 +820,28 @@ def _describe_core(
         d1 = jnp.sum(
             _trunc_div(delta_t * pat.long_wdy[None, :], 1024), axis=1
         )
-        computed_angle = (
-            jnp.arctan2(d1.astype(jnp.float32), d0.astype(jnp.float32))
-            / np.float32(np.pi)
-            * 180.0
-        )
-        angle = jnp.where(need_angle, computed_angle, keypoints.angle)
-        theta = _trunc_i32(N_ROT * angle / 360.0 + 0.5)
-        theta = jnp.where(theta < 0, theta + N_ROT, theta)
-        theta = jnp.where(theta >= N_ROT, theta - N_ROT, theta)
+        if angle_exact:
+            # Host libm atan2f + double promotion chain, bit-exact to
+            # brisk-descriptor-extractor.cc:732-739 (CPU parity path).
+            angle, theta = jax.pure_callback(
+                _exact_angle_host,
+                (
+                    jax.ShapeDtypeStruct(d0.shape, jnp.float32),
+                    jax.ShapeDtypeStruct(d0.shape, jnp.int32),
+                ),
+                d0, d1, keypoints.angle, need_angle,
+                vmap_method="sequential",
+            )
+        else:
+            computed_angle = (
+                jnp.arctan2(d1.astype(jnp.float32), d0.astype(jnp.float32))
+                / np.float32(np.pi)
+                * 180.0
+            )
+            angle = jnp.where(need_angle, computed_angle, keypoints.angle)
+            theta = _trunc_i32(N_ROT * angle / 360.0 + 0.5)
+            theta = jnp.where(theta < 0, theta + N_ROT, theta)
+            theta = jnp.where(theta >= N_ROT, theta - N_ROT, theta)
     else:
         angle = keypoints.angle
         theta = jnp.zeros_like(scale_idx)

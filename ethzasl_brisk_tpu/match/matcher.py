@@ -175,13 +175,164 @@ def radius_match_all(
 
     Returns (indices (Q, max_matches) i32, distances (Q, max_matches) i32,
     counts (Q,) i32); empty slots carry distance n_bits+1.
+
+    ``counts`` is the TRUE number of in-radius matches per query (counted
+    over the whole train set, not the returned slots) — the reference
+    returns every match, so a caller seeing ``counts[q] > max_matches``
+    knows the static capacity truncated that row and can re-run with a
+    larger ``max_matches``.
     """
     sentinel = n_bits + 1
     d = hamming_distance_matrix(query, train, n_bits)
     d = jnp.where(train_valid[None, :], d, sentinel)
     d = jnp.where(d < radius, d, sentinel)
+    d = jnp.where(query_valid[:, None], d, sentinel)
+    counts = jnp.sum(d < sentinel, axis=1).astype(jnp.int32)
     neg_d, idx = jax.lax.top_k(-d, max_matches)
     dist = -neg_d
-    dist = jnp.where(query_valid[:, None], dist, sentinel)
-    counts = jnp.sum(dist < sentinel, axis=1).astype(jnp.int32)
     return idx.astype(jnp.int32), dist, counts
+
+
+class DescriptorCollection:
+    """Train-image collection (cv::DescriptorMatcher::add semantics).
+
+    The reference's ``commonKnnMatchImpl`` iterates a VECTOR of train
+    descriptor matrices with per-image masks and emits ``DMatch.imgIdx``
+    (brute-force-matcher.cc:95-161). On TPU the collection becomes ONE
+    concatenated train matrix plus two index tables, so every query still
+    hits a single MXU distance matmul; global argmin order (image-major,
+    then row) matches the reference's scan order because lax.top_k breaks
+    ties toward the lowest concatenated index.
+    """
+
+    def __init__(self, trains=(), valids=None):
+        self._trains: list = []
+        self._valids: list = []
+        for i, t in enumerate(trains):
+            self.add(t, None if valids is None else valids[i])
+
+    def add(self, train: jnp.ndarray, valid: jnp.ndarray | None = None):
+        """Append one train image's (T_i, W) descriptors (+ valid mask)."""
+        self._trains.append(jnp.asarray(train))
+        self._valids.append(
+            jnp.ones(train.shape[0], bool) if valid is None
+            else jnp.asarray(valid)
+        )
+
+    def clear(self):
+        self._trains.clear()
+        self._valids.clear()
+
+    @property
+    def n_images(self) -> int:
+        return len(self._trains)
+
+    @property
+    def sizes(self) -> list:
+        return [int(t.shape[0]) for t in self._trains]
+
+    def stacked(self):
+        """(train (T, W), valid (T,), img_idx (T,) i32, local_idx (T,) i32)."""
+        import numpy as np
+
+        train = jnp.concatenate(self._trains, axis=0)
+        valid = jnp.concatenate(self._valids, axis=0)
+        sizes = self.sizes
+        img_idx = jnp.asarray(
+            np.repeat(np.arange(len(sizes), dtype=np.int32), sizes)
+        )
+        local_idx = jnp.asarray(
+            np.concatenate([np.arange(s, dtype=np.int32) for s in sizes])
+        )
+        return train, valid, img_idx, local_idx
+
+    def concat_masks(self, masks) -> jnp.ndarray:
+        """Per-image (Q, T_i) masks -> one (Q, T) concatenated mask."""
+        return jnp.concatenate([jnp.asarray(m) for m in masks], axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "n_bits"))
+def _knn_collection_jit(
+    query, train, query_valid, train_valid, img_idx, local_idx, mask,
+    k, n_bits,
+):
+    sentinel = n_bits + 1
+    d = hamming_distance_matrix(query, train, n_bits)
+    d = jnp.where(train_valid[None, :], d, sentinel)
+    if mask is not None:
+        d = jnp.where(mask, d, sentinel)
+    neg_d, gidx = jax.lax.top_k(-d, k)
+    dist = jnp.where(query_valid[:, None], -neg_d, sentinel)
+    found = dist < sentinel
+    out_img = jnp.where(found, img_idx[gidx], -1).astype(jnp.int32)
+    out_train = jnp.where(found, local_idx[gidx], -1).astype(jnp.int32)
+    return out_img, out_train, dist
+
+
+def knn_match_collection(
+    query: jnp.ndarray,
+    collection: DescriptorCollection,
+    query_valid: jnp.ndarray | None = None,
+    masks=None,
+    k: int = 2,
+    n_bits: int = 384,
+):
+    """knnMatch against a train collection (commonKnnMatchImpl,
+    brute-force-matcher.cc:95-161).
+
+    ``masks``: optional per-image list of (Q, T_i) bool arrays (cv mask
+    semantics — True allows the pair). Returns (img_idx (Q, k) i32,
+    train_idx (Q, k) i32, dist (Q, k) i32); unfilled slots carry
+    img_idx/train_idx -1 and distance n_bits+1.
+    """
+    train, train_valid, img_idx, local_idx = collection.stacked()
+    if query_valid is None:
+        query_valid = jnp.ones(query.shape[0], bool)
+    mask = None if masks is None else collection.concat_masks(masks)
+    return _knn_collection_jit(
+        query, train, query_valid, train_valid, img_idx, local_idx, mask,
+        k, n_bits,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_matches", "n_bits"))
+def _radius_collection_jit(
+    query, train, query_valid, train_valid, img_idx, local_idx, mask,
+    radius, max_matches, n_bits,
+):
+    sentinel = n_bits + 1
+    d = hamming_distance_matrix(query, train, n_bits)
+    d = jnp.where(train_valid[None, :], d, sentinel)
+    if mask is not None:
+        d = jnp.where(mask, d, sentinel)
+    d = jnp.where(d < radius, d, sentinel)
+    d = jnp.where(query_valid[:, None], d, sentinel)
+    counts = jnp.sum(d < sentinel, axis=1).astype(jnp.int32)
+    neg_d, gidx = jax.lax.top_k(-d, max_matches)
+    dist = -neg_d
+    found = dist < sentinel
+    out_img = jnp.where(found, img_idx[gidx], -1).astype(jnp.int32)
+    out_train = jnp.where(found, local_idx[gidx], -1).astype(jnp.int32)
+    return out_img, out_train, dist, counts
+
+
+def radius_match_collection(
+    query: jnp.ndarray,
+    collection: DescriptorCollection,
+    radius: int,
+    query_valid: jnp.ndarray | None = None,
+    masks=None,
+    max_matches: int = 64,
+    n_bits: int = 384,
+):
+    """radiusMatch against a train collection (commonRadiusMatchImpl,
+    brute-force-matcher.cc:164-214) with imgIdx outputs and TRUE counts
+    (counts[q] > max_matches signals capacity truncation)."""
+    train, train_valid, img_idx, local_idx = collection.stacked()
+    if query_valid is None:
+        query_valid = jnp.ones(query.shape[0], bool)
+    mask = None if masks is None else collection.concat_masks(masks)
+    return _radius_collection_jit(
+        query, train, query_valid, train_valid, img_idx, local_idx, mask,
+        radius, max_matches, n_bits,
+    )

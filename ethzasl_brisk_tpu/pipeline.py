@@ -52,6 +52,9 @@ class BriskFeature:
     # skew the last ULP of subpixel x/y vs the reference's scalar C++;
     # eager execution rounds each op separately, exactly like the C++.
     eager_exact: bool = False
+    # Bit-exact reference angle/theta via host libm atan2f (CPU parity
+    # harnesses; see describe.extractor._exact_angle_host).
+    angle_exact: bool = False
     # Patch-sampler patch dims; must cover the pattern extent of the
     # largest keypoint scale the detector can emit (extent ~= size + 2;
     # supported extent is patch/2 - 2 — fast_sampler.py docs).
@@ -85,6 +88,7 @@ class BriskFeature:
                 sampler=self.sampler,
                 patch_h=self.patch_h,
                 patch_w=self.patch_w,
+                angle_exact=self.angle_exact,
             ),
         )
 
@@ -158,6 +162,9 @@ class BriskFeatureDetector:
     # op separately, exactly like the reference's scalar C++.  Used by
     # the golden-parity harness; ~same speed on CPU once op caches warm.
     eager_exact: bool = False
+    # Bit-exact reference angle/theta via host libm atan2f (CPU parity
+    # harnesses; see describe.extractor._exact_angle_host).
+    angle_exact: bool = False
 
     def __post_init__(self):
         object.__setattr__(
@@ -167,6 +174,7 @@ class BriskFeatureDetector:
                 rotation_invariant=self.rotation_invariant,
                 scale_invariant=self.scale_invariant,
                 version=self.version,
+                angle_exact=self.angle_exact,
             ),
         )
 

@@ -82,3 +82,49 @@ def test_harris_golden_parity(harris_golden, harris_feature, entry_idx):
     assert np.minimum(dang, 360 - dang).max() < 0.1
     # Descriptors bit-exact.
     np.testing.assert_array_equal(got_desc[gi], e.descriptors[wi])
+
+
+def test_exact_angle_host_matches_reference_fixtures():
+    """Pins the exact angle/theta chain (_exact_angle_host) on direction
+    sums captured from the golden runs: atan2 in DOUBLE of float-cast
+    sums (brisk-descriptor-extractor.cc:732 — the unqualified atan2
+    resolves to the C double function; tools/probe_angle.py verified the
+    double chain matches 454/454 + 443/443 golden angles, the atan2f
+    float-overload chain only ~55%)."""
+    from ethzasl_brisk_tpu.describe.extractor import _exact_angle_host
+
+    fixtures = [  # (d0, d1, golden angle, theta)
+        (4535757, -2590177, np.float32(-29.728842), 940),
+        (4481776, -5669780, np.float32(-51.67478), 878),
+        (7998779, -1551955, np.float32(-10.980327), 994),
+        (1533999, -3030746, np.float32(-63.153946), 845),
+        (2854528, 7931858, np.float32(70.20714), 200),
+        (2131479, -7041702, np.float32(-73.15926), 817),
+        (-5853073, 798459, np.float32(172.23183), 490),
+        (300112, -2749580, np.float32(-83.77092), 787),
+        (-2286869, 1554434, np.float32(145.79521), 415),
+        (4632015, -2381660, np.float32(-27.211033), 948),
+    ]
+    d0 = np.array([f[0] for f in fixtures], np.int64)
+    d1 = np.array([f[1] for f in fixtures], np.int64)
+    want_ang = np.array([f[2] for f in fixtures], np.float32)
+    want_theta = np.array([f[3] for f in fixtures], np.int32)
+    ang, theta = _exact_angle_host(
+        d0, d1, np.full(len(fixtures), -1.0, np.float32),
+        np.ones(len(fixtures), bool),
+    )
+    np.testing.assert_array_equal(ang, want_ang)
+    np.testing.assert_array_equal(theta, want_theta)
+    # Provided-angle branch: angle passes through, theta from the given
+    # value (brisk-descriptor-extractor.cc:744-753).
+    given = np.array([10.0, -90.0], np.float32)
+    ang2, theta2 = _exact_angle_host(
+        np.zeros(2, np.int64), np.zeros(2, np.int64), given,
+        np.zeros(2, bool),
+    )
+    np.testing.assert_array_equal(ang2, given)
+    # -90deg: trunc(-256 + 0.5) = -255 (C int cast truncates toward
+    # zero), wrapped to 769 — NOT -256 -> 768.
+    np.testing.assert_array_equal(
+        theta2, [int(1024 * 10.0 / 360.0 + 0.5), 769]
+    )

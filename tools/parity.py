@@ -94,7 +94,8 @@ def compare_entry(name, got_kp, got_desc, want_kp, want_desc, xy_tol=2e-3):
             )
     dang = np.abs(g[:, 3] - w[:, 3])
     dang = np.minimum(dang, 360 - dang)
-    print(f"  angle: bit-eq {(g[:, 3] == w[:, 3]).sum()}/{n}; "
+    angle_eq = g[:, 3] == w[:, 3]
+    print(f"  angle: bit-eq {angle_eq.sum()}/{n}; "
           f"<0.1deg {(dang < 0.1).sum()}/{n}; max {dang.max():.3f}")
     # Known exception: ONE swapped response-tie pair — the reference's
     # unstable std::sort decides which of two equal-response keypoints
@@ -128,15 +129,15 @@ def compare_entry(name, got_kp, got_desc, want_kp, want_desc, xy_tol=2e-3):
                     f"{w[i, 3]:.3f} resp {g[i, 4]:.0f} xy {g[i, :2]}"
                 )
     # PARITY OK requires: every keypoint aligned (or the single
-    # documented tie pair), bit-equal xy, response, size, and every
-    # descriptor byte. Angle is gated transitively: the descriptor bits
-    # depend on the rotation index, and the stored float differs from
-    # the reference's libm atan2f only in sub-0.001-degree tails.
+    # documented tie pair), bit-equal xy, response, size, ANGLE
+    # (bench-ds.h:374 gates every field including angle), and every
+    # descriptor byte.
     exact_full = n == len(want_kp) == len(got_kp)
     return (
         (exact_full or tie_pair)
         and resp_eq.all()
         and size_eq.all()
+        and angle_eq.all()
         and desc_ok
         and ((dxy == 0).all() if n else True)
     )
@@ -159,6 +160,8 @@ def run_harris():
         # FMA contraction on XLA:CPU can flip the last ULP of a refined
         # coordinate vs the reference's scalar C++.
         eager_exact=True,
+        # Host libm double atan2 chain — bit-exact angles (probe_angle.py).
+        angle_exact=True,
     )
     all_ok = True
     for e in entries:
@@ -204,6 +207,8 @@ def run_ast(raw_cache_model="exact"):
         # response/size tails vs the reference; eager rounds per-op like
         # the scalar C++ (see BriskFeatureDetector.eager_exact).
         eager_exact=True,
+        # Host libm double atan2 chain — bit-exact angles (probe_angle.py).
+        angle_exact=True,
     )
     all_ok = True
     for e in entries:
