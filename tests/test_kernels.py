@@ -456,3 +456,52 @@ class TestUniformity:
             a = np.asarray(enforce_uniformity(*args, **kw))
             b = np.asarray(enforce_uniformity_sequential(*args, **kw))
             np.testing.assert_array_equal(a, b)
+
+
+class TestAgastScoreMapGoldens:
+    """Arc-detector cornerScore rasters vs the COMPILED reference
+    (tests/fixtures/agast_scoremaps_img1crop.npz, generated by
+    tools/refbuild/ref_harness.cc `scoremaps` on img1[100:280,150:370]).
+    cornerScore with threshold b equals max(b, t*-map) — the fixtures
+    use b=0, so each dense map must satisfy max(0, map) == raster on the
+    common interior. Pins OAST9/16 (oast9-16-nms.cc), AGAST5/8
+    (agast5-8-nms.cc) and both 7/12 variants (agast7-12{s,d}-nms.cc)."""
+
+    BORDERS = {  # ours (the reference border is in the fixture)
+        "oast9_16": 3, "agast5_8": 2, "agast7_12s": 2, "agast7_12d": 3,
+    }
+
+    @pytest.fixture(scope="class")
+    def fixture(self):
+        import pathlib
+
+        p = pathlib.Path(__file__).parent / "fixtures" / \
+            "agast_scoremaps_img1crop.npz"
+        return np.load(p)
+
+    @pytest.fixture(scope="class")
+    def crop(self, fixture):
+        from ethzasl_brisk_tpu.core.image_io import read_pgm
+
+        from .conftest import TEST_DATA
+
+        p = TEST_DATA / "img1.pgm"
+        if not p.exists():
+            pytest.skip("reference test data unavailable")
+        y0, y1, x0, x1 = fixture["image_crop"]
+        return read_pgm(str(p))[y0:y1, x0:x1]
+
+    @pytest.mark.parametrize(
+        "name", ["oast9_16", "agast5_8", "agast7_12s", "agast7_12d"]
+    )
+    def test_scoremap_matches_compiled_reference(self, fixture, crop, name):
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.kernels import agast as agast_kernels
+
+        fn = getattr(agast_kernels, f"{name}_score_map")
+        got = np.asarray(fn(jnp.asarray(crop)))
+        want = fixture[name]
+        b = max(self.BORDERS[name], int(fixture[name + "_border"]))
+        sl = np.s_[b:-b, b:-b]
+        np.testing.assert_array_equal(np.maximum(0, got[sl]), want[sl])
