@@ -240,47 +240,85 @@ def brisk_v1_pattern(pattern_scale: float = 1.0) -> BriskPattern:
     {1, 10, 14, 15, 20} points; short pairs |d| < 5.85, long pairs
     |d| > 8.2 (brisk-descriptor-extractor.cc:316-339).
     """
-    f = 0.85 * pattern_scale
-    radius_list = np.array([0.0, 2.9, 4.9, 7.4, 10.8], np.float64) * f
-    number_list = np.array([1, 10, 14, 15, 20], np.int64)
-    d_max, d_min = np.float32(5.85), np.float32(8.2)
+    f32, f64 = np.float32, np.float64
+    # radiusList[i] = float(f * c) with double f = 0.85*patternScale
+    # (brisk-v1.cc:76-86).
+    fac = f64(0.85) * pattern_scale
+    radius_list = np.array(
+        [f32(fac * c) for c in (0.0, 2.9, 4.9, 7.4, 10.8)], f32
+    )
+    number_list = [1, 10, 14, 15, 20]
+    d_max = f32(f64(5.85) * pattern_scale)
+    d_min = f32(f64(8.2) * pattern_scale)
 
-    # Base points at rotation 0, scale 1 (alpha = num * 2pi / n_ring).
-    u_x, u_y, u_sigma = [], [], []
-    for r, n in zip(radius_list, number_list):
-        alpha = np.arange(n, dtype=np.float64) * 2.0 * np.pi / float(n)
-        u_x.extend(np.float32(r) * np.cos(alpha))
-        u_y.extend(np.float32(r) * np.sin(alpha))
-        if r == 0.0:
-            sig = 1.3 * 0.5  # sigma_scale * scale * 0.5 at scale=1
-            u_sigma.extend([sig] * int(n))
-        else:
-            u_sigma.extend([1.3 * r * np.sin(np.pi / n)] * int(n))
-    u_x = np.asarray(u_x, np.float32)
-    u_y = np.asarray(u_y, np.float32)
-    # Note: v1 sigmas fold sigma_scale already (see generateKernel:110-115),
-    # so divide it back out before the shared expansion re-applies it.
-    u_sigma = (np.asarray(u_sigma, np.float32) / SIGMA_SCALE).astype(
-        np.float32
+    # v1's generateKernel builds the FULL LUT directly with its own float
+    # chains (brisk-v1.cc:103-178) — validated bit-exact against the
+    # compiled reference on all 64x1024x60 entries (tools/refbuild
+    # `v1pattern` dump; tests/test_v1.py pins slices):
+    # * lb_scale resolves to the <cmath> FLOAT log overload in this
+    #   translation unit (logf(30.f)/log(2.0) -> double div, f32 store) —
+    #   unlike brisk-descriptor-extractor.cc, where the same spelling
+    #   promotes to double log (each verified against its dump);
+    # * scaleList[s] = f32(pow(2.0, double(f32(s * lb_scale_step))));
+    # * x = f32(f64(f32(scale*radius)) * cos(alpha+theta)), alpha/theta
+    #   in double;
+    # * sigma ring0 = f32(f64(f32(1.3f*scale)) * 0.5), else
+    #   f32(f64(f32(1.3f*scale)) * f64(radius) * sin(pi/n)).
+    lb_scale = f32(np.log(f32(30.0)).astype(f64) / np.log(f64(2.0)))
+    lb_step = f32(lb_scale / f32(SCALES))
+    scale_list = np.power(
+        2.0, (np.arange(SCALES).astype(f32) * lb_step).astype(f32)
+        .astype(f64)
+    ).astype(f32)
+
+    rings = np.repeat(np.arange(5), number_list)  # (P,) ring index
+    alpha = np.concatenate(
+        [np.arange(n, dtype=f64) * 2.0 * np.pi / f64(n)
+         for n in number_list]
+    )  # (P,) double
+    rad_pt = radius_list[rings]  # (P,) f32
+    s13 = (f32(1.3) * scale_list).astype(f32)  # (S,) f32
+    sinfac = np.array(
+        [0.0] + [np.sin(np.pi / f64(n)) for n in number_list[1:]]
+    )
+    lut_sigma = np.where(
+        rings[None, :] == 0,
+        s13[:, None].astype(f64) * 0.5,
+        (s13[:, None].astype(f64) * rad_pt[None, :].astype(f64))
+        * sinfac[rings][None, :],
+    ).astype(f32)  # (S, P)
+
+    sr = (scale_list[:, None] * rad_pt[None, :]).astype(f32)  # (S, P) f32
+    theta = np.arange(N_ROT, dtype=f64)[:, None] * 2.0 * np.pi / f64(N_ROT)
+    ang = alpha[None, :] + theta  # (R, P) double
+    lut_x = (sr[:, None, :].astype(f64) * np.cos(ang)[None]).astype(f32)
+    lut_y = (sr[:, None, :].astype(f64) * np.sin(ang)[None]).astype(f32)
+
+    # size = ceil(f32(scale*radius) + sigma) + 1, max over points (the
+    # rot loop adds nothing: sr and sigma are rot-invariant).
+    size_list = (
+        np.ceil((sr + lut_sigma).astype(f64)).max(axis=1).astype(np.int32)
+        + 1
     )
 
-    # Pairs over all i>j by distance thresholds at scale 1, rot 0.
+    # Pairs over all i>j at scale 1 rot 0 (u = LUT[scale condition...]
+    # — generateKernel uses patternPoints_[0..points_), i.e. scale 0
+    # rot 0 coordinates, brisk-v1.cc:181-205).
+    u_x = lut_x[0, 0]
+    u_y = lut_y[0, 0]
     n = len(u_x)
     ii, jj = np.tril_indices(n, k=-1)  # i > j
-    dx = u_x[jj] - u_x[ii]
-    dy = u_y[jj] - u_y[ii]
-    norm_sq = dx * dx + dy * dy
-    short_mask = norm_sq < d_max * d_max
-    long_mask = norm_sq > d_min * d_min
+    dx = (u_x[jj] - u_x[ii]).astype(f32)
+    dy = (u_y[jj] - u_y[ii]).astype(f32)
+    norm_sq = (dx * dx + dy * dy).astype(f32)
+    d_max_sq = f32(d_max * d_max)
+    d_min_sq = f32(d_min * d_min)
+    long_mask = norm_sq > d_min_sq
+    short_mask = (~long_mask) & (norm_sq < d_max_sq)  # else-if, :196
     short_pairs = np.stack([ii[short_mask], jj[short_mask]], 1).astype(
         np.int32
     )
     long_pairs = np.stack([ii[long_mask], jj[long_mask]], 1).astype(np.int32)
-
-    lut_x, lut_y, lut_sigma, scale_list, size_list = _expand(u_x, u_y, u_sigma)
-
-    # v1 long weights use dx = u[j] - u[i] convention of generateKernel
-    # (same as _long_pair_weights with (i, j) columns).
     lw = _long_pair_weights(u_x, u_y, long_pairs)
     return BriskPattern(
         lut_x=lut_x,

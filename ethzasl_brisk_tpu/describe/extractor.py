@@ -49,7 +49,8 @@ _ANGLE_DEBUG_SINK: list | None = None
 
 
 def _exact_angle_host(
-    d0: np.ndarray, d1: np.ndarray, given_angle: np.ndarray, need: np.ndarray
+    d0: np.ndarray, d1: np.ndarray, given_angle: np.ndarray,
+    need: np.ndarray,
 ):
     """Reference-exact orientation angle + rotation index, on host libm.
 
@@ -76,11 +77,16 @@ def _exact_angle_host(
         _ANGLE_DEBUG_SINK.append(
             (np.asarray(d0).copy(), np.asarray(d1).copy())
         )
-    a64 = np.arctan2(
+    # The same DOUBLE chain holds for both engines: v2 verified via
+    # tools/probe_angle.py (454/454 + 443/443) and v1 against the
+    # compiled-reference goldens (1066/1066 with the exact v1 pattern)
+    # — brisk-v1.cc:472 resolves atan2 to double despite its logf
+    # scale-list chain.
+    a = np.arctan2(
         np.asarray(d1).astype(np.float32).astype(np.float64),
         np.asarray(d0).astype(np.float32).astype(np.float64),
     )  # libm atan2 in double of the float-cast sums
-    computed = (a64 / np.pi * 180.0).astype(np.float32)
+    computed = (a / np.pi * 180.0).astype(np.float32)
     ang = np.where(
         np.asarray(need), computed, np.asarray(given_angle)
     ).astype(np.float32)
@@ -158,8 +164,14 @@ def smoothed_intensity_u8(
     skip_small: bool = False,
     row_base: jnp.ndarray | None = None,  # (K,) i32 stacked-frame row shift
     frame_rows: int | None = None,        # frame-local image height
+    v1_rounding: bool = False,
 ) -> jnp.ndarray:
     """Reference-exact smoothed intensity for all (keypoint, point) pairs.
+
+    ``v1_rounding=True`` selects the legacy brisk_v1 sampler rounding:
+    every division adds half the divisor first (``(ret_val+512)/1024``
+    bilinear, ``(... + scaling2/2)/scaling2`` box — brisk-v1.cc:246,
+    :331, :366) where the v2 extractor truncates.
 
     Returns int32 (K, P) — value scale is pixel * 1024
     (SmoothedIntensity, brisk-descriptor-extractor.cc:370-530).
@@ -212,6 +224,7 @@ def smoothed_intensity_u8(
             + r_x * r_y_1 * at_img(y_i, x_i + 1)
             + r_x * r_y * at_img(y_i + 1, x_i + 1)
             + r_x_1 * r_y * at_img(y_i + 1, x_i)
+            + (512 if v1_rounding else 0)
         ) // 1024
 
     # ---- Box path (:410-495): exact integral-image decomposition.
@@ -289,7 +302,10 @@ def smoothed_intensity_u8(
     right = (t5 - t4 + t3 - t6) * r_x1_i
     bottom = (t7 - t6 + t9 - t8) * r_y1_i
 
-    box = (corners + upper + middle + left + right + bottom) // scaling2
+    total = corners + upper + middle + left + right + bottom
+    if v1_rounding:
+        total = total + scaling2 // 2
+    box = total // scaling2
 
     if skip_small:
         return box
@@ -511,6 +527,8 @@ class BriskExtractor:
             patch_w=self.patch_w,
             skip_small=self._skip_small,
             angle_exact=self.angle_exact,
+            v1_rounding=(self.version == "v1"
+                         and self.pattern_file is None),
         )
 
 
@@ -543,7 +561,7 @@ def scale_index(size: jnp.ndarray, scale_invariant: bool) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "rotation_invariant", "scale_invariant", "sampler", "patch_h",
-        "patch_w", "skip_small", "angle_exact",
+        "patch_w", "skip_small", "angle_exact", "v1_rounding",
     ),
 )
 def extract_descriptors(
@@ -558,6 +576,7 @@ def extract_descriptors(
     patch_w: int = 192,
     skip_small: bool = False,
     angle_exact: bool = False,
+    v1_rounding: bool = False,
 ) -> tuple[KeyPoints, jnp.ndarray]:
     """BRISK description with the pattern as a runtime pytree argument.
 
@@ -581,6 +600,7 @@ def extract_descriptors(
         scale_invariant=scale_invariant,
         sampler=sampler, patch_h=patch_h, patch_w=patch_w,
         skip_small=skip_small, angle_exact=angle_exact,
+        v1_rounding=v1_rounding,
     )
 
 
@@ -588,7 +608,7 @@ def extract_descriptors(
     jax.jit,
     static_argnames=(
         "rotation_invariant", "scale_invariant", "sampler", "patch_h",
-        "patch_w", "skip_small", "angle_exact",
+        "patch_w", "skip_small", "angle_exact", "v1_rounding",
     ),
 )
 def extract_descriptors_batch(
@@ -603,6 +623,7 @@ def extract_descriptors_batch(
     patch_w: int = 192,
     skip_small: bool = False,
     angle_exact: bool = False,
+    v1_rounding: bool = False,
 ) -> tuple[KeyPoints, jnp.ndarray]:
     """Batched description as ONE flat call (no per-frame vmap).
 
@@ -662,7 +683,7 @@ def _stack_frames(imgs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     jax.jit,
     static_argnames=(
         "rotation_invariant", "scale_invariant", "sampler", "patch_h",
-        "patch_w", "skip_small", "angle_exact",
+        "patch_w", "skip_small", "angle_exact", "v1_rounding",
     ),
 )
 def extract_descriptors_views(
@@ -678,6 +699,7 @@ def extract_descriptors_views(
     patch_w: int = 192,
     skip_small: bool = False,
     angle_exact: bool = False,
+    v1_rounding: bool = False,
     view_cols: jnp.ndarray | None = None,  # (V,) i32 true view widths
     view_rows: jnp.ndarray | None = None,  # (V,) i32 true view heights
 ) -> tuple[KeyPoints, jnp.ndarray]:
@@ -703,6 +725,7 @@ def extract_descriptors_views(
         scale_invariant=scale_invariant,
         sampler=sampler, patch_h=patch_h, patch_w=patch_w,
         skip_small=skip_small, angle_exact=angle_exact,
+        v1_rounding=v1_rounding,
         col_limit=None if view_cols is None else view_cols[view_idx],
         row_limit=None if view_rows is None else view_rows[view_idx],
     )
@@ -724,6 +747,7 @@ def _describe_core(
     patch_w: int,
     skip_small: bool,
     angle_exact: bool = False,
+    v1_rounding: bool = False,
     col_limit: jnp.ndarray | None = None,  # (K,) per-keypoint true width
     row_limit: jnp.ndarray | None = None,
 ) -> tuple[KeyPoints, jnp.ndarray]:
@@ -776,6 +800,7 @@ def _describe_core(
             return smoothed_intensity_patch(
                 img, integral, key_x, key_y, px, py, sigma,
                 scaling, scaling2, patch_h=patch_h, patch_w=patch_w,
+                v1_rounding=v1_rounding,
                 row_base=row_base, frame_rows=rows,
             )
     elif sampler == "patch_ms":
@@ -797,6 +822,7 @@ def _describe_core(
             return smoothed_intensity_patch_ms(
                 img, integral, key_x, key_y, px, py, sigma,
                 scaling, scaling2, patch_sizes=sizes,
+                v1_rounding=v1_rounding,
                 row_base=row_base, frame_rows=rows,
             )
     else:
@@ -804,6 +830,7 @@ def _describe_core(
             return smoothed_intensity_u8(
                 img, integral, key_x, key_y, px, py, sigma,
                 scaling, scaling2, skip_small=skip_small,
+                v1_rounding=v1_rounding,
                 row_base=row_base, frame_rows=rows,
             )
 
@@ -821,8 +848,9 @@ def _describe_core(
             _trunc_div(delta_t * pat.long_wdy[None, :], 1024), axis=1
         )
         if angle_exact:
-            # Host libm atan2f + double promotion chain, bit-exact to
-            # brisk-descriptor-extractor.cc:732-739 (CPU parity path).
+            # Host libm double-atan2 chain, bit-exact to the
+            # reference (brisk-descriptor-extractor.cc:732-739;
+            # brisk-v1.cc:472 — CPU parity path).
             angle, theta = jax.pure_callback(
                 _exact_angle_host,
                 (

@@ -178,7 +178,8 @@ def _contract_taps(patches, rel_rows, rel_cols, patch_h, patch_w,
     return taps.astype(jnp.int32)  # exact ints < 2^24
 
 
-def _values_from_taps(taps, g, pat_scaling, pat_scaling2):
+def _values_from_taps(taps, g, pat_scaling, pat_scaling2,
+                      v1_rounding=False):
     """Reconstruct smoothed intensities from the (.., p, 6, 6) tap grid.
 
     Grid indices: rows 0=y_top 1=y_top+1 2=cd_y 3=cd_y+1 4=y_bottom
@@ -236,6 +237,8 @@ def _values_from_taps(taps, g, pat_scaling, pat_scaling2):
     bottom = (t7 - t6 + t9 - t8) * r_y1_i
     total = corners + upper + middle + left + right + bottom
     scaling2 = jnp.maximum(pat_scaling2, 1)
+    if v1_rounding:  # legacy v1 half-divisor rounding (brisk-v1.cc:331)
+        total = total + scaling2 // 2
     box = total // scaling2
 
     # Small-sigma bilinear: grid rows/cols 0..2.
@@ -248,6 +251,7 @@ def _values_from_taps(taps, g, pat_scaling, pat_scaling2):
     small_val = (
         (1024 - r_x) * (1024 - r_y) * s00 + r_x * (1024 - r_y) * s01
         + r_x * r_y * s11 + (1024 - r_x) * r_y * s10
+        + (512 if v1_rounding else 0)
     ) // 1024
 
     return jnp.where(g["small"], small_val, box)
@@ -303,6 +307,7 @@ def smoothed_intensity_patch(
     patch_h: int = 128,
     patch_w: int = 192,
     chunk: int = 128,
+    v1_rounding: bool = False,
     row_base: jnp.ndarray | None = None,  # (K,) i32 stacked-frame row shift
     frame_rows: int | None = None,        # frame-local image height
     matmul: str = "f32",                  # see _contract_taps
@@ -351,7 +356,8 @@ def smoothed_intensity_patch(
     taps = jax.lax.map(do_chunk, (ax_c, ay_c, rr, rc))
     taps = taps.reshape(n_chunks * chunk, p, 6, 6)[:k]
 
-    return _values_from_taps(taps, g, pat_scaling, pat_scaling2)
+    return _values_from_taps(taps, g, pat_scaling, pat_scaling2,
+                          v1_rounding=v1_rounding)
 
 
 def smoothed_intensity_patch_ms(
@@ -366,6 +372,7 @@ def smoothed_intensity_patch_ms(
     pat_scaling2: jnp.ndarray,
     patch_sizes: tuple = ((32, 128), (64, 128), (128, 128)),
     chunk: int = 128,
+    v1_rounding: bool = False,
     row_base: jnp.ndarray | None = None,
     frame_rows: int | None = None,
     matmul: str = "f32",
@@ -466,4 +473,5 @@ def smoothed_intensity_patch_ms(
     taps = taps.reshape(n_chunks * chunk, p, 6, 6)[:k]
     taps = jnp.take(taps, inv, axis=0)
 
-    return _values_from_taps(taps, g, pat_scaling, pat_scaling2)
+    return _values_from_taps(taps, g, pat_scaling, pat_scaling2,
+                          v1_rounding=v1_rounding)

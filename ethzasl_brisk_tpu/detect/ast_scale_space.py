@@ -100,13 +100,24 @@ def build_ast_pyramid(
     v1: bool = False,
 ) -> list[AstLayerMaps]:
     """ConstructPyramid (brisk-scale-space.cc:64-90; v1 identical
-    geometry, brisk-v1.cc:577-593)."""
+    geometry, brisk-v1.cc:577-593, but with v1's OWN resamplers — their
+    avg_epu8 rounding differs from the v2 kernels on every derived
+    layer, kernels/downsample.py twothirdsample8_v1/halfsample8_v1)."""
+    if v1:
+        from ethzasl_brisk_tpu.kernels.downsample import (
+            halfsample8_v1,
+            twothirdsample8_v1,
+        )
+
+        half, twothirds = halfsample8_v1, twothirdsample8_v1
+    else:
+        half, twothirds = halfsample8, twothirdsample8
     n_layers = max(2 * octaves, 1)
     imgs = [img]
     if n_layers > 1:
-        imgs.append(twothirdsample8(img))
+        imgs.append(twothirds(img))
     for i in range(2, n_layers):
-        imgs.append(halfsample8(imgs[i - 2]))
+        imgs.append(half(imgs[i - 2]))
 
     layers = []
     scale = 1.0

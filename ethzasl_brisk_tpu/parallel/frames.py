@@ -119,6 +119,77 @@ class FramePipeline:
         return self.step
 
 
+@dataclasses.dataclass(frozen=True)
+class AstFramePipeline:
+    """Batched classic-BRISK (AGAST/OAST) detect+describe+match step.
+
+    The AST analog of :class:`FramePipeline`: data-parallel
+    ``BriskFeatureDetector`` detection (brisk-scale-space.cc:92-287
+    semantics, emulated lazy-score cache) + one flat batched describe +
+    per-pair matching. Used by ``bench.py`` BENCH_PIPELINE=ast.
+    """
+
+    detector: "object"  # pipeline.BriskFeatureDetector (frozen, hashable)
+    mesh: Mesh
+    sampler: str = "patch_ms"
+    patch_h: int = 256
+    patch_w: int = 256
+
+    def step(self, frames: jnp.ndarray):
+        return _ast_pipeline_step(
+            self.detector.extractor.pattern, frames, self.detector,
+            self.mesh, self.sampler, self.patch_h, self.patch_w,
+        )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("detector", "mesh", "sampler", "patch_h", "patch_w"),
+)
+def _ast_pipeline_step(
+    pattern, frames, detector, mesh: Mesh, sampler, patch_h, patch_w
+):
+    from ethzasl_brisk_tpu.describe.extractor import (
+        extract_descriptors_batch,
+    )
+
+    frames = jax.lax.with_sharding_constraint(
+        frames, NamedSharding(mesh, P("data", None, None))
+    )
+    det = jax.vmap(detector.detect)(frames)
+    kps, desc = extract_descriptors_batch(
+        pattern, frames, det,
+        rotation_invariant=detector.rotation_invariant,
+        scale_invariant=detector.scale_invariant,
+        sampler=sampler,
+        patch_h=patch_h,
+        patch_w=patch_w,
+        skip_small=detector.extractor.skip_small,
+    )
+    desc = jax.lax.with_sharding_constraint(
+        desc, NamedSharding(mesh, P("data", None, None))
+    )
+    midx, mdist = _match_adjacent(kps, desc)
+    return kps, desc, midx, mdist
+
+
+def _match_adjacent(kps, desc):
+    q, t = desc[1:], desc[:-1]
+    qv, tv = kps.valid[1:], kps.valid[:-1]
+
+    def match_pair(qd, td, qvd, tvd):
+        n_bits = qd.shape[-1] * 32
+        d = hamming_distance_matrix(qd, td, n_bits)
+        sentinel = n_bits + 1
+        d = jnp.where(tvd[None, :], d, sentinel)
+        best = jnp.argmin(d, axis=1).astype(jnp.int32)
+        bd = jnp.min(d, axis=1)
+        bd = jnp.where(qvd, bd, sentinel)
+        return best, bd
+
+    return jax.vmap(match_pair)(q, t, qv, tv)
+
+
 @partial(jax.jit, static_argnames=("feature", "mesh"))
 def _pipeline_step(pattern, frames, feature: BriskFeature, mesh: Mesh):
     from ethzasl_brisk_tpu.describe.extractor import (

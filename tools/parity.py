@@ -234,16 +234,65 @@ def run_ast(raw_cache_model="exact"):
     print("PARITY OK" if all_ok else "PARITY INCOMPLETE")
 
 
+def run_v1():
+    """BRISK v1 legacy-engine parity vs fixtures generated from the
+    compiled reference (tools/refbuild/ref_harness.cc `v1`:
+    brisk_v1::BriskFeatureDetector(70, 3) + BriskDescriptorExtractor
+    (true, true, 1.0), brisk-v1.cc:567-1425)."""
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.core.image_io import read_pgm
+    from ethzasl_brisk_tpu.pipeline import BriskFeatureDetector
+
+    fdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures",
+    )
+    detector = BriskFeatureDetector(
+        threshold=70, octaves=3, version="v1",
+        raw_cache_model="exact",
+        eager_exact=True,
+        angle_exact=True,  # v1 uses the same double-atan2 (brisk-v1.cc:472)
+    )
+    all_ok = True
+    for im in ("img1", "img2"):
+        img = read_pgm(os.path.join(SET_DIR, f"{im}.pgm"))
+        fix = np.load(os.path.join(fdir, f"v1_golden_{im}.npz"))
+        kps, desc = detector.detect_and_compute(jnp.asarray(img))
+        m = np.asarray(kps.valid)
+        got_kp = np.stack(
+            [
+                np.asarray(kps.x)[m],
+                np.asarray(kps.y)[m],
+                np.asarray(kps.size)[m],
+                np.asarray(kps.angle)[m],
+                np.asarray(kps.response)[m],
+            ],
+            axis=1,
+        )
+        got_desc = np.asarray(desc)[m].view(np.uint8)
+        want = fix["keypoints"]  # x y size angle response octave
+        ok = compare_entry(
+            im, got_kp, got_desc, want[:, :5], fix["descriptors"],
+            xy_tol=5e-3,
+        )
+        all_ok &= bool(ok)
+    print("PARITY OK" if all_ok else "PARITY INCOMPLETE")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "harris"
     if which == "harris":
         run_harris()
     elif which == "ast":
         run_ast(sys.argv[2] if len(sys.argv) > 2 else "exact")
+    elif which == "v1":
+        run_v1()
     elif which == "all":
         run_harris()
         run_ast("exact")
+        run_v1()
     else:
         raise SystemExit(
-            f"unknown pipeline {which!r}; use harris|ast|all"
+            f"unknown pipeline {which!r}; use harris|ast|v1|all"
         )
