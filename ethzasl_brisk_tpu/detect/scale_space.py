@@ -397,13 +397,41 @@ def detect_keypoints(
 
     for i in range(n_layers):
         xs, ys, top_scores, valid = cands[i]
+        xs, ys, top_scores, valid, accept = compact_accepted(
+            xs, ys, top_scores, valid, accepts[i], config
+        )
         kps = _refine_layer_keypoints(
-            scores[i], xs, ys, top_scores, valid, accepts[i], geoms[i],
+            scores[i], xs, ys, top_scores, valid, accept, geoms[i],
             config,
         )
         per_layer.append(kps)
 
     return KeyPoints.concatenate(per_layer)
+
+
+def compact_accepted(xs, ys, top_scores, valid, accept, config, *extra):
+    """Compact accepted candidates to a min(max_num_kpt, k) prefix.
+
+    Uniformity/bucketing accepts at most min(max_num_kpt, k) candidates;
+    the stable partition preserves the score-descending order, and the
+    subpixel refinement then touches ONLY that prefix — the patch gather
+    over all k candidates was ~70% of detect time at k=8192
+    (probe_detect_full, 2026-08-19). Order among valid entries is
+    unchanged, so the downstream concatenate + response top_k resolves
+    ties identically to the uncompacted layout (verified bitwise). The
+    tile-sharded path applies the same compaction so its output packing
+    stays bitwise-equal to the dense path.
+    """
+    cap = min(xs.shape[0], config.max_num_kpt)
+    if cap < xs.shape[0]:
+        order = jnp.argsort(~accept, stable=True)[:cap]
+        xs = jnp.take(xs, order)
+        ys = jnp.take(ys, order)
+        top_scores = jnp.take(top_scores, order)
+        valid = jnp.take(valid, order)
+        accept = jnp.take(accept, order)
+        extra = tuple(jnp.take(e, order, axis=0) for e in extra)
+    return (xs, ys, top_scores, valid, accept) + extra
 
 
 def _layer_candidates(sc, mask, config):
@@ -462,11 +490,20 @@ def _refine_layer_keypoints(
     # Sub-pixel refinement on every candidate (masked later): gather the
     # 3x3 patch around each; patch[a, b] = Score(x+b-1, y+a-1), matching the
     # reference's argument order (scale-space-layer-inl.h:394-402).
+    # Nine 1-D flat takes instead of one 2-D advanced-index gather: the
+    # 2-D form lowers to a slower composite gather on TPU (96 vs 60
+    # ms/batch16 at k=8192 — probe_refine, 2026-08-19).
     def gather_patch(x, y):
-        dx = jnp.arange(-1, 2)
-        xi = jnp.clip(x[:, None] + dx[None, :], 0, w - 1)  # (K, 3)
-        yi = jnp.clip(y[:, None] + dx[None, :], 0, h - 1)
-        return sc[yi[:, :, None], xi[:, None, :]]  # (K, 3y, 3x)
+        flat = sc.reshape(-1)
+        rows = []
+        for dy in (-1, 0, 1):
+            taps = []
+            for dx in (-1, 0, 1):
+                yy = jnp.clip(y + dy, 0, h - 1)
+                xx = jnp.clip(x + dx, 0, w - 1)
+                taps.append(jnp.take(flat, yy * w + xx))
+            rows.append(jnp.stack(taps, axis=-1))
+        return jnp.stack(rows, axis=-2)  # (K, 3y, 3x)
 
     return refine_from_patches(
         gather_patch(xs, ys), xs, ys, top_scores, accept, geom, config

@@ -351,6 +351,13 @@ def _finish(merged, config, geoms, heights, widths):
         accept = _layer_accept(
             (xs_m, ys_m, sc_m, v_m), (heights[i], widths[i]), config
         )
+        # Same accepted-prefix compaction as the dense path (bitwise-
+        # equal output packing; scale_space.compact_accepted docs).
+        from ethzasl_brisk_tpu.detect.scale_space import compact_accepted
+
+        xs_m, ys_m, sc_m, v_m, accept, p_m = compact_accepted(
+            xs_m, ys_m, sc_m, v_m, accept, config, p_m
+        )
         out.append(
             refine_from_patches(
                 p_m, xs_m, ys_m, sc_m, accept, geoms[i], config
