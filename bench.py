@@ -64,6 +64,9 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
+    if os.environ.get("BENCH_PIPELINE", "harris") == "ast":
+        return main_ast(batch, iters)
+
     feature = BriskFeature(
         octaves=int(os.environ.get("BENCH_OCTAVES", "2")),
         uniformity_radius=float(os.environ.get("BENCH_URADIUS", "30")),
@@ -85,6 +88,10 @@ def main() -> None:
         # the standalone top_k win — keep "sort" default.
         topk_impl=os.environ.get("BENCH_TOPK", "sort"),
         fused_mask=bool(os.environ.get("BENCH_FUSED_MASK")),
+        # Valid-compaction describe budget per frame (sampler cost is
+        # per-SLOT; bench frames fill ~450 of 1024 slots). 640 gives
+        # ~40% headroom over the measured max occupancy.
+        describe_capacity=int(os.environ.get("BENCH_DESCRIBE_CAP", "640")),
     )
     mesh = make_mesh(1, 1)
     pipe = FramePipeline(feature=feature, mesh=mesh)
@@ -96,10 +103,12 @@ def main() -> None:
     frames = jnp.asarray(bench_frames(batch))
 
     with mesh:
-        # Compile + warm-up with forced readback; two rounds because the
-        # first post-compile execution through the tunnel can be 2-3x
-        # slower than steady state.
-        for _ in range(2):
+        # Compile + warm-up with forced readback; several rounds because
+        # the first post-compile executions through the tunnel are up to
+        # 2-3x slower than steady state (and the first TIMED region in a
+        # process reads slow even after per-stage warm-up — NOTES.md
+        # measurement protocol).
+        for _ in range(int(os.environ.get("BENCH_WARM", "6"))):
             out = step(frames)
             _ = float(jnp.sum(out[3]))
 
@@ -177,6 +186,68 @@ def main() -> None:
                 "metric": (
                     "frames_per_s_per_chip_640x480_detect_describe_match"
                     "_uniformity30"
+                ),
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / TARGET_FPS, 4),
+            }
+        )
+    )
+
+
+def main_ast(batch: int, iters: int) -> None:
+    """Classic-BRISK (AGAST/OAST) batched pipeline benchmark
+    (BENCH_PIPELINE=ast): BriskFeatureDetector(70, octaves=3) semantics
+    on the same frames, detect+describe+match, same honest timing."""
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.parallel import make_mesh
+    from ethzasl_brisk_tpu.parallel.frames import AstFramePipeline
+    from ethzasl_brisk_tpu.pipeline import BriskFeatureDetector
+
+    detector = BriskFeatureDetector(
+        threshold=int(os.environ.get("BENCH_AST_THRESHOLD", "70")),
+        octaves=int(os.environ.get("BENCH_AST_OCTAVES", "3")),
+        max_candidates_per_layer=int(
+            os.environ.get("BENCH_AST_CANDS", "2048")
+        ),
+        raw_cache_model="emulated",
+    )
+    mesh = make_mesh(1, 1)
+    pipe = AstFramePipeline(
+        detector=detector, mesh=mesh,
+        sampler=os.environ.get("BENCH_SAMPLER", "patch_ms"),
+    )
+    frames = jnp.asarray(bench_frames(batch))
+
+    with mesh:
+        for _ in range(int(os.environ.get("BENCH_WARM", "6"))):
+            out = pipe.step(frames)
+            _ = float(jnp.sum(out[3]))
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.int32)
+        for _ in range(iters):
+            out = pipe.step(frames)
+            acc = acc + jnp.sum(out[3])
+        checksum = int(np.asarray(acc))
+        dt = time.perf_counter() - t0
+        assert checksum != 0
+
+    fps = batch * iters / dt
+    n_valid = np.asarray(jnp.sum(out[0].valid, axis=1))
+    print(
+        f"ast config: thr={detector.threshold} octaves={detector.octaves} "
+        f"cands/layer={detector.max_candidates_per_layer} batch={batch} "
+        f"iters={iters}; keypoints/frame min={n_valid.min()} "
+        f"max={n_valid.max()}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "frames_per_s_per_chip_640x480_ast_detect_describe"
+                    "_match_thr70"
                 ),
                 "value": round(fps, 2),
                 "unit": "frames/s/chip",

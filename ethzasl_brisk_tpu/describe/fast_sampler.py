@@ -122,6 +122,32 @@ def _contract_taps(patches, rel_rows, rel_cols, patch_h, patch_w,
     c, p = rel_rows.shape[0], rel_rows.shape[1]
     iota_h = jnp.arange(patch_h, dtype=jnp.int32)
     iota_w = jnp.arange(patch_w, dtype=jnp.int32)
+
+    if matmul == "f32_colfirst":
+        # Column-select FIRST: patches (c, PH, PW) @ col-one-hot
+        # (c, PW, p*6) -> (c, PH, p*6), then the row pick reduces over
+        # PH. The (c, p*6, PW) row-major intermediate of the row-first
+        # order is the sampler's largest tensor (25 MB/chunk at
+        # PW=128); col-first shrinks the intermediate by PW/PH (4x for
+        # the 32x128 bucket) — bit-exact either way (values < 2^24,
+        # HIGHEST precision).
+        oh_c = (rel_cols[..., None] == iota_w).astype(jnp.float32)
+        sel_c = jax.lax.dot_general(
+            patches,
+            oh_c.reshape(c, p * 6, patch_w),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (c, PH, p*6)
+        sel_c = sel_c.reshape(c, patch_h, p, 6)
+        oh_r = (rel_rows[..., None] == iota_h).astype(jnp.float32)
+        taps = jnp.einsum(
+            "cpih,chpj->cpij", oh_r, sel_c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return taps.astype(jnp.int32)
+
     oh_c = (rel_cols[..., None] == iota_w).astype(jnp.float32)
 
     def rowsel(oh_dtype, limb, prec):

@@ -204,15 +204,31 @@ def _pipeline_step(pattern, frames, feature: BriskFeature, mesh: Mesh):
     # One flat describe call over all frames' keypoints: the chunked MXU
     # patch sampler needs the keypoint axis whole (vmapping it serializes
     # the per-chunk dynamic slices) — extract_descriptors_batch docs.
-    kps, desc = extract_descriptors_batch(
-        pattern, frames, det,
-        rotation_invariant=feature.rotation_invariant,
-        scale_invariant=feature.scale_invariant,
-        sampler=feature.sampler,
-        patch_h=feature.patch_h,
-        patch_w=feature.patch_w,
-        skip_small=feature.extractor.skip_small,
-    )
+    if feature.describe_capacity:
+        from ethzasl_brisk_tpu.describe.extractor import (
+            extract_descriptors_compact,
+        )
+
+        kps, desc = extract_descriptors_compact(
+            pattern, frames, det,
+            capacity=feature.describe_capacity * frames.shape[0],
+            rotation_invariant=feature.rotation_invariant,
+            scale_invariant=feature.scale_invariant,
+            sampler=feature.sampler,
+            patch_h=feature.patch_h,
+            patch_w=feature.patch_w,
+            skip_small=feature.extractor.skip_small,
+        )
+    else:
+        kps, desc = extract_descriptors_batch(
+            pattern, frames, det,
+            rotation_invariant=feature.rotation_invariant,
+            scale_invariant=feature.scale_invariant,
+            sampler=feature.sampler,
+            patch_h=feature.patch_h,
+            patch_w=feature.patch_w,
+            skip_small=feature.extractor.skip_small,
+        )
     desc = jax.lax.with_sharding_constraint(
         desc, NamedSharding(mesh, P("data", None, None))
     )

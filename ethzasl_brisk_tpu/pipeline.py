@@ -60,6 +60,13 @@ class BriskFeature:
     # supported extent is patch/2 - 2 — fast_sampler.py docs).
     patch_h: int = 192
     patch_w: int = 192
+    # Batched-describe valid-compaction budget PER FRAME (0 = off):
+    # the sampler costs ~2-3 us per SLOT regardless of validity, so
+    # compacting the batch's valid keypoints to a
+    # batch*describe_capacity prefix cuts describe roughly by the
+    # occupancy factor (extract_descriptors_compact docs; overflow
+    # beyond the budget is dropped like any other static cap).
+    describe_capacity: int = 0
 
     def __post_init__(self):
         object.__setattr__(

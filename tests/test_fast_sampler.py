@@ -135,3 +135,96 @@ def test_batch_describe_matches_per_frame(pat, sampler):
             np.asarray(d_b[i])[valid],
             err_msg=f"frame {i}",
         )
+
+
+class TestDescribeCompact:
+    """extract_descriptors_compact == extract_descriptors_batch bitwise
+    for every described keypoint, with overflow dropped (valid=False)."""
+
+    def _batch(self, b=3, k=40, seed=5):
+        import jax
+        import jax.numpy as jnp
+        from scipy import ndimage
+
+        from ethzasl_brisk_tpu.core.keypoints import KeyPoints
+
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, (b, 120, 160)).astype(np.float32)
+        imgs = np.clip(
+            ndimage.convolve(base, np.ones((1, 5, 5)) / 25.0,
+                             mode="nearest"), 0, 255
+        ).astype(np.uint8)
+        x = rng.uniform(25, 135, (b, k)).astype(np.float32)
+        y = rng.uniform(25, 95, (b, k)).astype(np.float32)
+        valid = rng.random((b, k)) < 0.5
+        kps = KeyPoints(
+            x=jnp.asarray(x), y=jnp.asarray(y),
+            size=jnp.full((b, k), 12.0, jnp.float32),
+            angle=jnp.full((b, k), -1.0, jnp.float32),
+            response=jnp.asarray(rng.uniform(1, 9, (b, k)), ),
+            octave=jnp.zeros((b, k), jnp.int32),
+            valid=jnp.asarray(valid),
+        )
+        return jnp.asarray(imgs), kps
+
+    def test_compact_matches_batch(self):
+        import numpy as np
+
+        from ethzasl_brisk_tpu.describe.extractor import (
+            BriskExtractor,
+            extract_descriptors_batch,
+            extract_descriptors_compact,
+        )
+
+        imgs, kps = self._batch()
+        ext = BriskExtractor()
+        pat = ext.pattern
+        ref_kp, ref_desc = extract_descriptors_batch(
+            pat, imgs, kps, skip_small=ext.skip_small
+        )
+        got_kp, got_desc = extract_descriptors_compact(
+            pat, imgs, kps, capacity=kps.x.size,
+            skip_small=ext.skip_small,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_kp.valid), np.asarray(ref_kp.valid)
+        )
+        m = np.asarray(ref_kp.valid)
+        np.testing.assert_array_equal(
+            np.asarray(got_desc)[m], np.asarray(ref_desc)[m]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_kp.angle)[m], np.asarray(ref_kp.angle)[m]
+        )
+
+    def test_compact_overflow_drops(self):
+        import numpy as np
+
+        from ethzasl_brisk_tpu.describe.extractor import (
+            BriskExtractor,
+            extract_descriptors_batch,
+            extract_descriptors_compact,
+        )
+
+        imgs, kps = self._batch()
+        ext = BriskExtractor()
+        pat = ext.pattern
+        cap = 30  # fewer than the number of valid inputs
+        ref_kp, ref_desc = extract_descriptors_batch(
+            pat, imgs, kps, skip_small=ext.skip_small
+        )
+        got_kp, got_desc = extract_descriptors_compact(
+            pat, imgs, kps, capacity=cap, skip_small=ext.skip_small,
+        )
+        gv = np.asarray(got_kp.valid)
+        assert gv.sum() <= cap
+        # Every surviving keypoint is bitwise identical to the batch path.
+        m = gv
+        np.testing.assert_array_equal(
+            np.asarray(got_desc)[m], np.asarray(ref_desc)[m]
+        )
+        # Non-described slots keep their input coordinates.
+        drop = np.asarray(kps.valid) & ~gv
+        np.testing.assert_array_equal(
+            np.asarray(got_kp.x)[drop], np.asarray(kps.x)[drop]
+        )

@@ -4,10 +4,19 @@ reference's golden images.
 
 Closes the "golden parity is eager-CPU-only" hole: tools/parity.py gates
 the eager CPU path against the reference goldens; this gate pins the
-jitted TPU path to the jitted CPU path (same program, both backends), so
-TPU output is golden-anchored transitively up to the documented jit
-FMA-contraction ULP class — which this check asserts is EMPTY between
-the two backends for detection ints, refined floats and descriptor bits.
+jitted TPU path to the jitted CPU path (same program, both backends).
+
+Gate semantics (measured backend ULP classes, 2026-08-19):
+* BIT-EQUAL required: valid mask, octave, size, response, and every
+  DESCRIPTOR byte (these feed matching; they are integer- or
+  quantization-protected).
+* 1-ULP tails allowed and BOUNDED for refined x/y (backend-specific
+  FMA contraction in the subpixel float chain, <=0.7%% of keypoints).
+* angle: the two backends ship DIFFERENT f32 arctan2 approximations
+  (divergence up to ~80 ULP ~= 6e-4 deg measured, ~40%% of keypoints
+  nonzero); bounded by |diff| <= 2e-3 deg. Descriptors stay bit-equal
+  regardless (the 1024-bin rotation quantization absorbs it) and THAT
+  is asserted bitwise.
 
 Run when the tunnel is up:  python tools/tpu_parity.py
 Records PASS/FAIL per image; exits nonzero on any mismatch.
@@ -30,11 +39,22 @@ def run_one(feature, img_np, cpu_dev, tpu_dev):
     import jax
     import jax.numpy as jnp
 
+    from ethzasl_brisk_tpu.detect.scale_space import detect_keypoints
+    from ethzasl_brisk_tpu.kernels.harris import harris_score_i32
+
     outs = {}
     for name, dev in (("cpu", cpu_dev), ("tpu", tpu_dev)):
         img = jax.device_put(jnp.asarray(img_np), dev)
         pat = jax.device_put(feature.extractor.pattern, dev)
-        kps = feature._detect_jit(img)
+        # CPU leg: the Pallas Harris kernel is TPU-only; the jnp twin is
+        # bit-exact (tests/test_pallas.py), so this gate additionally
+        # pins Pallas-vs-jnp through the WHOLE pipeline.
+        score_fn = None if dev.platform != "cpu" else harris_score_i32
+
+        def det(im, score_fn=score_fn):
+            return detect_keypoints(im, feature.config, score_fn)
+
+        kps = jax.jit(det)(img)
         if kps.capacity > feature.max_keypoints:
             kps = kps.top_k(feature.max_keypoints)
         from ethzasl_brisk_tpu.describe.extractor import (
@@ -56,19 +76,42 @@ def run_one(feature, img_np, cpu_dev, tpu_dev):
     kc, dc = outs["cpu"]
     kt, dt = outs["tpu"]
     ok = True
-    import dataclasses
 
-    for f in dataclasses.fields(kc):
-        a, b = getattr(kc, f.name), getattr(kt, f.name)
+    def ulp_diff(a, b):
+        ai = a.view(np.int32).astype(np.int64)
+        bi = b.view(np.int32).astype(np.int64)
+        # Monotone int mapping of IEEE floats (sign-magnitude -> biased).
+        ai = np.where(ai < 0, -(2**31) - ai, ai)
+        bi = np.where(bi < 0, -(2**31) - bi, bi)
+        return np.abs(ai - bi)
+
+    for f in ("valid", "octave", "size", "response"):
+        a, b = getattr(kc, f), getattr(kt, f)
         eq = np.array_equal(a, b)
         ok &= eq
         if not eq:
-            bad = np.flatnonzero(
-                a != b if a.dtype != np.float32 else a.view(np.int32)
-                != b.view(np.int32)
-            )
-            print(f"  MISMATCH {f.name}: {len(bad)} entries, first "
-                  f"{bad[:5]} cpu={a.flat[bad[:3]]} tpu={b.flat[bad[:3]]}")
+            print(f"  MISMATCH {f}: {np.sum(a != b)} entries")
+    n = kc.valid.sum()
+    for f, bound in (("x", 0.007), ("y", 0.007)):
+        a = getattr(kc, f)[kc.valid]
+        b = getattr(kt, f)[kc.valid]
+        d = ulp_diff(a, b)
+        frac = float((d > 0).sum()) / max(int(n), 1)
+        if d.max(initial=0) > 1 or frac > bound:
+            ok = False
+            print(f"  MISMATCH {f}: max ulp {d.max(initial=0)}, "
+                  f"{100*frac:.2f}% differ (bound {100*bound}%)")
+        elif d.max(initial=0):
+            print(f"  {f}: {int((d > 0).sum())}/{int(n)} at 1 ULP "
+                  f"(within bound)")
+    da = np.abs(kc.angle[kc.valid] - kt.angle[kc.valid])
+    da = np.minimum(da, 360.0 - da)
+    if da.max(initial=0) > 2e-3:
+        ok = False
+        print(f"  MISMATCH angle: max |diff| {da.max():.2e} deg")
+    elif da.max(initial=0):
+        print(f"  angle: max |diff| {da.max():.2e} deg "
+              f"({int((da > 0).sum())}/{int(n)} nonzero; backend atan2)")
     eq = np.array_equal(dc, dt)
     ok &= eq
     if not eq:
