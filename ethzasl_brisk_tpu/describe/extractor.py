@@ -200,15 +200,23 @@ def smoothed_intensity_u8(
     def shift(y):
         return y if row_base is None else y + row_base[:, None]
 
+    # Flat 1-D takes instead of 2-D advanced indexing: the 2-D form
+    # lowers to a much slower composite gather on TPU (same finding as
+    # the refine patch gather — NOTES round 3).
+    img_flat = imgi.reshape(-1)
+    int_flat = inti.reshape(-1)
+    img_w = imgi.shape[1]
+    int_w = inti.shape[1]
+
     def at_img(y, x):
         y = shift(jnp.clip(y, 0, rows - 1))
         x = jnp.clip(x, 0, cols - 1)
-        return imgi[y, x]
+        return jnp.take(img_flat, y * img_w + x)
 
     def at_int(y, x):
         y = shift(jnp.clip(y, 0, rows))
         x = jnp.clip(x, 0, cols)
-        return inti[y, x]
+        return jnp.take(int_flat, y * int_w + x)
 
     if not skip_small:
         # ---- Small-sigma path: integer bilinear (:391-408).

@@ -141,11 +141,15 @@ def _contract_taps(patches, rel_rows, rel_cols, patch_h, patch_w,
         )  # (c, PH, p*6)
         sel_c = sel_c.reshape(c, patch_h, p, 6)
         oh_r = (rel_rows[..., None] == iota_h).astype(jnp.float32)
-        taps = jnp.einsum(
-            "cpih,chpj->cpij", oh_r, sel_c,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # Explicit broadcast-multiply-reduce for the row pick: an einsum
+        # here lowers to c*p TINY batched dots (6x32 @ 32x6) — one MXU
+        # tile-op each, ~1M tile-ops per phase, which was the sampler's
+        # real bound. The mul+sum form stays on the VPU (fused, no
+        # materialization of the (c,p,6,6,PH) product).
+        sel_t = jnp.transpose(sel_c, (0, 2, 3, 1))  # (c, p, 6j, PH)
+        taps = jnp.sum(
+            oh_r[:, :, :, None, :] * sel_t[:, :, None, :, :], axis=-1
+        )  # (c, p, 6i, 6j)
         return taps.astype(jnp.int32)
 
     oh_c = (rel_cols[..., None] == iota_w).astype(jnp.float32)
@@ -336,7 +340,7 @@ def smoothed_intensity_patch(
     v1_rounding: bool = False,
     row_base: jnp.ndarray | None = None,  # (K,) i32 stacked-frame row shift
     frame_rows: int | None = None,        # frame-local image height
-    matmul: str = "f32",                  # see _contract_taps
+    matmul: str = "f32_colfirst",                  # see _contract_taps
 ) -> jnp.ndarray:
     """Reference-exact smoothed intensities, (K, P) int32.
 
@@ -401,7 +405,7 @@ def smoothed_intensity_patch_ms(
     v1_rounding: bool = False,
     row_base: jnp.ndarray | None = None,
     frame_rows: int | None = None,
-    matmul: str = "f32",
+    matmul: str = "f32_colfirst",
 ) -> jnp.ndarray:
     """Multi-size patch sampler: per-keypoint patch dims by actual tap
     extent, bit-identical to the single-size path.
