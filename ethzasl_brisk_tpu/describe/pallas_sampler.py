@@ -1,0 +1,339 @@
+"""Pallas fused patch sampler: DMA-pipelined smoothed-intensity taps.
+
+The XLA patch sampler (fast_sampler.py) costs ~3 us per keypoint SLOT:
+its per-chunk `vmap(dynamic_slice)` serializes patch extraction and its
+one-hot contraction dispatches through generic fusions. This kernel
+fuses, per keypoint:
+
+    HBM window DMA  ->  base-subtract  ->  col-select matmul (MXU)
+                    ->  row pick (VPU sublane mask-reduce)  ->  taps
+
+with the window DMAs double-buffered across a group of G keypoints per
+grid step, so extraction overlaps compute. Values are BIT-IDENTICAL to
+fast_sampler._contract_taps: the anchored window values stay < 2^24
+(f32-exact), every tap group is a second difference (the window-corner
+base cancels), and the matmul runs f32 at Precision.HIGHEST.
+
+Bucketing mirrors smoothed_intensity_patch_ms: keypoints are sorted by
+the smallest patch bucket that contains their taps; one pallas_call per
+bucket processes only the groups whose (sorted) members belong to it
+(@pl.when skip otherwise), chained through input_output_aliasing.
+
+Alignment rules (Mosaic DMA): row offsets 8-aligned (int32 sublane),
+col offsets 128-aligned (lane tile) — windows are (ph + 8) x (pw + 128)
+with the keypoint anchor's misalignment folded into the relative
+coordinates.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ethzasl_brisk_tpu.describe.fast_sampler import (
+    _tap_geometry,
+    _trunc_i32,
+    _values_from_taps,
+)
+
+
+def _kernel(
+    g: int, ph_win: int, pw_win: int, pl8: int, n_rows: int,
+    bucket_id: int,
+    # prefetch scalars
+    ay_ref, ax_ref, br_ref,
+    # array inputs
+    int_hbm, relr_ref, relc_ref, taps_in_ref,
+    # outputs
+    taps_ref,
+    # scratch
+    win_ref, sem,
+):
+    gi = pl.program_id(0)
+
+    owned = br_ref[gi] == bucket_id
+
+    def dma(slot, j):
+        ay = pl.multiple_of(ay_ref[gi * g + j], 8)
+        ax = pl.multiple_of(ax_ref[gi * g + j], 128)
+        return pltpu.make_async_copy(
+            int_hbm.at[pl.ds(ay, ph_win), pl.ds(ax, pw_win)],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(owned)
+    def _process():
+        dma(0, 0).start()
+
+        def body(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < g)
+            def _():
+                dma((j + 1) % 2, j + 1).start()
+
+            dma(slot, j).wait()
+
+            wi = win_ref[slot]
+            # Base-subtract at the window corner: rectangle values stay
+            # nonnegative and < ph_win*pw_win*255 < 2^24; the base
+            # cancels in every downstream tap group.
+            anchored_i = wi - wi[0:1, :] - wi[:, 0:1] + wi[0, 0]
+
+            # Index vectors come PRE-FLATTENED from XLA (Mosaic rejects
+            # lane reshapes like (p, 8) -> (p*8,)): relc (p*8,) with
+            # lane l = point*8 + jcol; relr (8, p*8) with the row of
+            # row-tap i broadcast over the point's 8 col lanes.
+            colv = relc_ref[j].reshape(1, pl8)
+            sub_w = jax.lax.broadcasted_iota(
+                jnp.int32, (pw_win, pl8), 0
+            )
+            oh_c = (sub_w == colv).astype(jnp.bfloat16)  # (pw_win, pl8)
+            # Mosaic does NOT honor precision=HIGHEST (measured: bf16
+            # truncation of the window values). Split into three 8-bit
+            # limbs — each limb (< 256) is bf16-exact, each dot output
+            # selects a single limb value, and the f32 recombination is
+            # exact (< 2^24). Three 1-pass bf16 dots.
+            sel = None
+            for shift_amt, scale_f in ((0, 1.0), (8, 256.0),
+                                       (16, 65536.0)):
+                limb = ((anchored_i >> shift_amt) & 0xFF).astype(
+                    jnp.bfloat16
+                )
+                part = jax.lax.dot_general(
+                    limb, oh_c,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sel = part * scale_f if sel is None else sel + part * scale_f
+            # (ph_win, pl8) f32, exact
+
+            # Row pick: six sublane mask-reduces (i = 0..5); the i axis
+            # is padded to 8 sublanes and written as one aligned tile.
+            sub_h = jax.lax.broadcasted_iota(
+                jnp.int32, (ph_win, pl8), 0
+            )
+            rows_out = []
+            for i in range(8):
+                ri = relr_ref[j, i].reshape(1, pl8)
+                mask = (sub_h == ri).astype(jnp.float32)
+                rows_out.append(jnp.sum(mask * sel, axis=0))  # (pl8,)
+            taps_ref[j] = jnp.stack(rows_out, axis=0).astype(jnp.int32)
+
+        jax.lax.fori_loop(0, g, body, None, unroll=False)
+
+    @pl.when(jnp.logical_not(owned))
+    def _passthrough():
+        taps_ref[...] = taps_in_ref[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patch_sizes", "group", "frame_rows",
+                     "interpret", "v1_rounding"),
+)
+def smoothed_intensity_patch_pallas(
+    img: jnp.ndarray,           # unused (API parity)
+    integral: jnp.ndarray,      # (R, C) int32 stacked integral
+    key_x: jnp.ndarray,         # (K,) f32
+    key_y: jnp.ndarray,
+    pat_x: jnp.ndarray,         # (K, P) f32
+    pat_y: jnp.ndarray,
+    pat_sigma: jnp.ndarray,
+    pat_scaling: jnp.ndarray,
+    pat_scaling2: jnp.ndarray,
+    patch_sizes: tuple = ((32, 128), (64, 128), (128, 128)),
+    group: int = 8,
+    v1_rounding: bool = False,
+    row_base: jnp.ndarray | None = None,
+    frame_rows: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for smoothed_intensity_patch_ms (bit-identical values)."""
+    rows_i, cols_i = integral.shape
+    frame_rows_i = rows_i if frame_rows is None else frame_rows + 1
+    k, p = pat_x.shape
+    n_b = len(patch_sizes)
+
+    g = _tap_geometry(key_x, key_y, pat_x, pat_y, pat_sigma)
+    rows_q = g["row_coords"]  # (K, p, 6) frame-local integral rows
+    cols_q = g["col_coords"]
+    tx = _trunc_i32(key_x)
+    ty = _trunc_i32(key_y)
+    rmin = rows_q.reshape(k, -1).min(axis=1)
+    rmax = rows_q.reshape(k, -1).max(axis=1)
+    cmin = cols_q.reshape(k, -1).min(axis=1)
+    cmax = cols_q.reshape(k, -1).max(axis=1)
+
+    # Bucket assignment — identical to smoothed_intensity_patch_ms.
+    branch = jnp.full((k,), n_b - 1, jnp.int32)
+    anchors = []
+    for b in range(n_b - 1, -1, -1):
+        ph, pw = patch_sizes[b]
+        ay = jnp.clip(ty - ph // 2, 0, max(frame_rows_i - ph, 0))
+        ax = jnp.clip(tx - pw // 2, 0, max(cols_i - pw, 0))
+        anchors.append((ay, ax))
+        fits = (
+            (rmin >= ay) & (rmax <= ay + ph - 1)
+            & (cmin >= ax) & (cmax <= ax + pw - 1)
+        )
+        if b < n_b - 1:
+            branch = jnp.where(fits, jnp.int32(b), branch)
+    anchors = anchors[::-1]
+
+    order = jnp.argsort(branch, stable=True)
+    inv = jnp.argsort(order, stable=True)
+
+    def take(a):
+        return jnp.take(a, order, axis=0)
+
+    br_s = jnp.take(branch, order)
+    rb_s = (
+        jnp.zeros((k,), jnp.int32)
+        if row_base is None else jnp.take(row_base, order)
+    )
+
+    pad_k = (-k) % group
+    n_groups = (k + pad_k) // group
+
+    def pad0(a):
+        return jnp.pad(a, [(0, pad_k)] + [(0, 0)] * (a.ndim - 1))
+
+    # Processing bucket = the GROUP's max branch (exactly like the
+    # chunk-level lax.switch of patch_ms): anchors AND the out-of-extent
+    # clipping below must use the processing bucket's geometry, or
+    # clipped taps of over-extent keypoints diverge from patch_ms.
+    br_g_pre = pad0(br_s).reshape(n_groups, group).max(axis=1)
+    proc_b = jnp.repeat(br_g_pre, group)[: k]  # (K,) sorted order
+
+    ay_b = jnp.stack([take(a[0]) for a in anchors], 0)  # (n_b, K)
+    ax_b = jnp.stack([take(a[1]) for a in anchors], 0)
+    bsel = proc_b[None, :] == jnp.arange(n_b, dtype=jnp.int32)[:, None]
+    ay_l = jnp.sum(jnp.where(bsel, ay_b, 0), axis=0)  # frame-local
+    ax_l = jnp.sum(jnp.where(bsel, ax_b, 0), axis=0)
+    ph_of = jnp.asarray([ph for ph, _ in patch_sizes], jnp.int32)
+    pw_of = jnp.asarray([pw for _, pw in patch_sizes], jnp.int32)
+    ph_k = ph_of[proc_b]
+    pw_k = pw_of[proc_b]
+
+    ay_abs = ay_l + rb_s
+    ay8 = (ay_abs // 8) * 8
+    ax128 = (ax_l // 128) * 128
+
+    # Pad the stacked integral so every aligned window stays in bounds:
+    # rows by the 8-row alignment slack, cols to a 128 multiple plus one
+    # extra 128-lane tile (ax128 + pw + 128 can pass the true width).
+    max_pw = max(pw for _, pw in patch_sizes)
+    cols_pad = -(-cols_i // 128) * 128 + 128
+    cols_pad = max(cols_pad, max_pw + 128)
+    integral = jnp.pad(
+        integral, ((0, 8), (0, cols_pad - cols_i))
+    )
+    rows_i = rows_i + 8
+
+    # Patch-relative coords with patch_ms's exact clipping (_rel: clip
+    # into [0, ph-1] against the UNALIGNED anchor), then shifted by the
+    # anchor's alignment slack into the window.
+    rows_s = (
+        jnp.clip(
+            take(rows_q) - ay_l[:, None, None],
+            0, (ph_k - 1)[:, None, None],
+        )
+        + (ay_abs - ay8)[:, None, None]
+    )
+    cols_s = (
+        jnp.clip(
+            take(cols_q) - ax_l[:, None, None],
+            0, (pw_k - 1)[:, None, None],
+        )
+        + (ax_l - ax128)[:, None, None]
+    )
+
+    # Pre-flattened index vectors (Mosaic cannot reshape lanes in the
+    # kernel): cols (K, p*8) with lane = point*8 + jcol (2 pad lanes per
+    # point, pointing at (0,0) and never consumed); rows (K, 6, p*8)
+    # with row-tap i's coordinate broadcast over the point's 8 lanes.
+    def pad6(a):
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 2)))
+
+    pl8 = -(-(p * 8) // 128) * 128  # lane dim must be a 128 multiple
+    colsf = pad6(cols_s).reshape(k, p * 8)
+    colsf = jnp.pad(colsf, ((0, 0), (0, pl8 - p * 8)))
+    rowsf = jnp.repeat(
+        jnp.transpose(rows_s, (0, 2, 1)), 8, axis=2
+    )  # (K, 6, p*8)
+    rowsf = jnp.pad(
+        rowsf, ((0, 0), (0, 2), (0, pl8 - p * 8))
+    )  # i axis 6 -> 8 sublane alignment
+    relr = pad0(rowsf).reshape(n_groups, group, 8, pl8)
+    relc = pad0(colsf).reshape(n_groups, group, pl8)
+    ay8_p = pad0(ay8).reshape(-1)
+    ax128_p = pad0(ax128).reshape(-1)
+    # Group branch: max over the group's (sorted) members.
+    br_g = pad0(br_s).reshape(n_groups, group).max(axis=1)
+
+    taps = jnp.zeros((n_groups, group, 8, pl8), jnp.int32)
+    for b, (ph, pw) in enumerate(patch_sizes):
+        ph_win, pw_win = ph + 8, pw + 128
+        kernel = functools.partial(
+            _kernel, group, ph_win, pw_win, pl8, rows_i, b
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_groups,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(
+                    (1, group, 8, pl8), lambda i, *_: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, group, pl8), lambda i, *_: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, group, 8, pl8), lambda i, *_: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, group, 8, pl8), lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, ph_win, pw_win), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+
+        def squeeze_kernel(ay_r, ax_r, br_r, int_r, rr_r, rc_r, ti_r,
+                           to_r, win, sem, kernel=kernel):
+            kernel(
+                ay_r, ax_r, br_r, int_r,
+                rr_r.at[0], rc_r.at[0], ti_r.at[0], to_r.at[0],
+                win, sem,
+            )
+
+        taps = pl.pallas_call(
+            squeeze_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_groups, group, 8, pl8), jnp.int32
+            ),
+            input_output_aliases={6: 0},  # taps_in (after 3 prefetch scalars)
+            interpret=interpret,
+        )(ay8_p, ax128_p, br_g, integral, relr, relc, taps)
+
+    # (n_groups, group, 8i, pl8) -> (K, p, 6, 6) in input order.
+    taps = taps.reshape(n_groups * group, 8, pl8)[:k, :6, : p * 8]
+    taps = taps.reshape(k, 6, p, 8)[:, :, :, :6]
+    taps = jnp.transpose(taps, (0, 2, 1, 3))  # (K, p, 6i, 6jcol)
+    taps = jnp.take(taps, inv, axis=0)
+    return _values_from_taps(
+        taps, g, pat_scaling, pat_scaling2, v1_rounding=v1_rounding
+    )

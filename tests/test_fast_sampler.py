@@ -228,3 +228,65 @@ class TestDescribeCompact:
         np.testing.assert_array_equal(
             np.asarray(got_kp.x)[drop], np.asarray(kps.x)[drop]
         )
+
+
+class TestPallasSampler:
+    """Fused Pallas patch sampler == patch_ms bitwise (interpret mode on
+    CPU; validated on real TPU hardware too — NOTES round 3)."""
+
+    def test_pallas_sampler_matches_patch_ms(self):
+        import jax
+        import jax.numpy as jnp
+        from scipy import ndimage
+
+        from ethzasl_brisk_tpu.core.pattern import brisk_v2_pattern
+        from ethzasl_brisk_tpu.describe.extractor import (
+            DevicePattern,
+            _stack_frames,
+            scale_index,
+        )
+        from ethzasl_brisk_tpu.describe.fast_sampler import (
+            smoothed_intensity_patch_ms,
+        )
+        from ethzasl_brisk_tpu.describe.pallas_sampler import (
+            smoothed_intensity_patch_pallas,
+        )
+
+        rng = np.random.default_rng(9)
+        B, H, W = 2, 160, 200
+        base = rng.integers(0, 256, (B, H, W)).astype(np.float32)
+        imgs = jnp.asarray(
+            np.clip(
+                ndimage.convolve(base, np.ones((1, 5, 5)) / 25.0,
+                                 mode="nearest"), 0, 255
+            ).astype(np.uint8)
+        )
+        img_pad, int_flat = _stack_frames(imgs)
+        K = 24
+        kx = jnp.asarray(
+            rng.uniform(30, 170, (B, K)).astype(np.float32)
+        ).reshape(-1)
+        ky = jnp.asarray(
+            rng.uniform(30, 130, (B, K)).astype(np.float32)
+        ).reshape(-1)
+        sizes = jnp.asarray(
+            rng.choice([12.0, 18.0, 24.0, 40.0], (B * K,))
+            .astype(np.float32)
+        )
+        row_base = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * (H + 1), K)
+        pat = DevicePattern.from_host(brisk_v2_pattern(1.0))
+        sidx = scale_index(sizes, True)
+        args = (
+            img_pad, int_flat, kx, ky,
+            pat.lut_x[sidx, 0], pat.lut_y[sidx, 0], pat.lut_sigma[sidx],
+            pat.lut_scaling[sidx], pat.lut_scaling2[sidx],
+        )
+        cfg = ((32, 128), (64, 128), (128, 128))
+        ref = smoothed_intensity_patch_ms(
+            *args, patch_sizes=cfg, row_base=row_base, frame_rows=H
+        )
+        got = smoothed_intensity_patch_pallas(
+            *args, patch_sizes=cfg, row_base=row_base, frame_rows=H,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
