@@ -916,8 +916,8 @@ def _describe_core(
             )
 
             sizes = tuple(
-                (min(s, patch_h), patch_w)
-                for s in (32, 64)
+                (s, min(patch_w, 128))
+                for s in (32, 64, 128)
                 if s < patch_h
             ) + ((patch_h, patch_w),)
 
@@ -934,8 +934,8 @@ def _describe_core(
             )
 
             sizes = tuple(
-                (min(s, patch_h), patch_w)
-                for s in (32, 64)
+                (s, min(patch_w, 128))
+                for s in (32, 64, 128)
                 if s < patch_h
             ) + ((patch_h, patch_w),)
 

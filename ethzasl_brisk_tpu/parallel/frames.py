@@ -131,6 +131,9 @@ class AstFramePipeline:
 
     detector: "object"  # pipeline.BriskFeatureDetector (frozen, hashable)
     mesh: Mesh
+    # patch_ms measured faster than patch_pallas at the AST shapes
+    # (4.7 vs 2.1 fps — the 264x384 windows thrash the pallas kernel's
+    # VMEM double buffers at octaves=3 sizes).
     sampler: str = "patch_ms"
     patch_h: int = 256
     patch_w: int = 256

@@ -93,6 +93,22 @@ def build_ba_problem(
     r_all = np.stack([p[0] for p in poses]).astype(np.float32)
     t_all = np.stack([p[1] for p in poses]).astype(np.float32)
 
+    if not tracks:
+        # No usable tracks (e.g. min_track_len filtered everything):
+        # return an all-invalid fixed-capacity problem so callers can
+        # uniformly check prob.valid.sum().
+        return BaProblem(
+            r=jnp.asarray(r_all),
+            t=jnp.asarray(t_all),
+            points=jnp.zeros((max_landmarks, 3), f32),
+            kf_idx=jnp.zeros((max_observations,), jnp.int32),
+            lm_idx=jnp.zeros((max_observations,), jnp.int32),
+            uv=jnp.zeros((max_observations, 2), f32),
+            valid=jnp.zeros((max_observations,), bool),
+            fu=f32(camera.fu), fv=f32(camera.fv),
+            cu=f32(camera.cu), cv=f32(camera.cv),
+        )
+
     # Initial landmarks: triangulate first/last observation per track.
     fa = np.array([t[0][0] for t in tracks])
     fb = np.array([t[-1][0] for t in tracks])

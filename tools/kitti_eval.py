@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--threshold", type=float, default=30.0)
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--ba-min-track-len", type=int, default=3)
+    ap.add_argument("--ba-max-shift", type=float, default=1.0,
+                    help="reject a window BA solution that moves any "
+                         "keyframe center by more than this multiple "
+                         "of the window's median baseline")
     ap.add_argument("--ba-huber", type=float, default=3.0,
                     help="Huber delta in px (0 disables)")
     ap.add_argument("--no-refine", action="store_true",
@@ -170,6 +174,7 @@ def main():
         return r, t
 
     prev = None
+    n_ba_rejects = 0
     if args.checkpoint_dir and start_frame > 0:
         prev = prev0
     n_kf_total = len(kf)
@@ -242,7 +247,20 @@ def main():
                 n_m < args.kf_min_inliers
             )
             if promote:
-                pair_match = (b, m)   # cur keypoint k <- last kf b[k]
+                # Epipolar-verify the keyframe matches before they feed
+                # BA tracks: descriptor-only (ratio+crosscheck) matches
+                # carry outliers that dominate the window solutions on
+                # weakly textured scenes (measured: nearly every window
+                # solution tripping the divergence gate without this).
+                key, sub2 = jax.random.split(key)
+                _, _, _, ok_kf, inl_kf = vo.relative_pose(
+                    sub2, cur[0], cur[1], last["kp"], last["desc"]
+                )
+                m_ver = m & np.asarray(inl_kf).astype(bool)
+                pair_match = (
+                    (b, m_ver) if bool(ok_kf) and m_ver.sum() >= 8
+                    else (b, m)
+                )   # cur keypoint k <- last kf b[k]
         if not promote:
             continue
 
@@ -289,6 +307,23 @@ def main():
         t_new = np.asarray(solved.t)
         if not (np.isfinite(r_new).all() and np.isfinite(t_new).all()):
             continue
+        # Divergence gate: on weak window geometry (near-planar scenes,
+        # short baselines) the window solution can slide along a poorly
+        # constrained direction; a runaway solution then corrupts every
+        # subsequent pose through the correction propagation (measured:
+        # path length exploding 10^6x on a synthetic planar sequence).
+        # Reject solutions that move any keyframe center by more than
+        # ba_max_shift x the window's median inter-keyframe baseline.
+        c_old = np.stack(
+            [-p[0].T @ p[1] for p in win_poses]
+        )
+        c_new = np.einsum("kij,kj->ki", -r_new.transpose(0, 2, 1), t_new)
+        base = np.linalg.norm(np.diff(c_old, axis=0), axis=1)
+        med_base = float(np.median(base)) if len(base) else 0.0
+        shift = float(np.linalg.norm(c_new - c_old, axis=1).max())
+        if med_base > 0 and shift > args.ba_max_shift * med_base:
+            n_ba_rejects += 1
+            continue
         n_ba_runs += 1
 
         # Propagate: replace window keyframe poses, and apply the newest
@@ -310,6 +345,7 @@ def main():
         frames=len(frames),
         keyframes=len(kf),
         ba_runs=n_ba_runs,
+        ba_rejects=n_ba_rejects,
         path_length=float(
             np.linalg.norm(np.diff(positions, axis=0), axis=1).sum()
         ),

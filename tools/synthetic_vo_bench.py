@@ -66,6 +66,10 @@ def main():
                     help="exposure drift + moving occluder")
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--export", default=None,
+                    help="write frames as PGM + KITTI poses.txt to DIR "
+                         "(for tools/kitti_eval.py keyframed+BA runs) "
+                         "and exit")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -105,6 +109,20 @@ def main():
         frames.append(np.clip(f, 0, 255).astype(np.uint8))
     print(f"rendered {len(frames)} frames "
           f"({'stress' if args.stress else 'clean'})", flush=True)
+
+    if args.export:
+        from ethzasl_brisk_tpu.core.image_io import write_pgm
+
+        out = pathlib.Path(args.export)
+        out.mkdir(parents=True, exist_ok=True)
+        gt_lines = []
+        for i, (f, (r, t)) in enumerate(zip(frames, poses)):
+            write_pgm(str(out / f"{i:06d}.pgm"), f)
+            m = np.hstack([r.T, (-r.T @ t)[:, None]])
+            gt_lines.append(" ".join(f"{v:.9f}" for v in m.reshape(-1)))
+        (out / "poses.txt").write_text("\n".join(gt_lines) + "\n")
+        print(f"exported to {out}")
+        return
 
     feature = BriskFeature(
         octaves=2, uniformity_radius=0.0, absolute_threshold=30.0,
