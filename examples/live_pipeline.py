@@ -8,7 +8,12 @@ describes and matches consecutive frames and prints per-batch statistics
 (the demo's FPS/HUD, reference livedemo.cc:213).
 
 Usage:
-  python examples/live_pipeline.py <dir-with-pgm-frames> [batch]
+  python examples/live_pipeline.py <dir-with-pgm-frames> [batch] [draw_dir]
+
+With ``draw_dir``, each matched pair is rendered like the reference
+visualizer (livedemo.cc:224-296): the two frames side by side, keypoint
+circles scaled by size, and green match lines, written as PGM files —
+the headless stand-in for its OpenCV window.
 """
 import pathlib
 import sys
@@ -33,6 +38,9 @@ def main():
         else "/root/reference/brisk/src/test/test_data"
     )
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    draw_dir = pathlib.Path(sys.argv[3]) if len(sys.argv) > 3 else None
+    if draw_dir:
+        draw_dir.mkdir(parents=True, exist_ok=True)
     paths = sorted(str(p) for p in directory.glob("*.pgm"))
     if not paths:
         raise SystemExit(f"no .pgm files in {directory}")
@@ -66,9 +74,26 @@ def main():
             f"keypoints/frame {n_kp.mean():.0f}  "
             f"matches/pair {n_match.mean():.0f}"
         )
+        if draw_dir is not None:
+            from examples.draw import draw_matches
+
+            host_kps = jax.tree.map(np.asarray, kps)
+            for pi in range(len(chunk) - 1):
+                img = draw_matches(
+                    frames_np[pi], frames_np[pi + 1],
+                    host_kps, pi, np.asarray(midx[pi]),
+                    np.asarray(mdist[pi]), max_dist=90,
+                )
+                from ethzasl_brisk_tpu.core.image_io import write_pgm
+
+                write_pgm(
+                    str(draw_dir / f"match_{bi:03d}_{pi:02d}.pgm"), img
+                )
         prev_tail = frames_np[-1]
     print()
     print(Timing.print_timing())
+    if draw_dir is not None:
+        print(f"match visualizations written to {draw_dir}")
 
 
 if __name__ == "__main__":
