@@ -104,6 +104,21 @@ def main() -> None:
 
     frames = jnp.asarray(bench_frames(batch))
 
+    # Backend burn-in with a SEPARATE small executable: the first timed
+    # region in a process reads up to 2x slow through the tunnel even
+    # after many warm iterations of the benchmark executable itself
+    # (measured 113 vs 185 fps at batch 64 — NOTES.md measurement
+    # protocol); a few seconds of unrelated compiled readback loops
+    # brings the backend to steady state before warm-up.
+    _burn = jax.jit(lambda a: (a @ a).sum() + 1.0)
+    _x = jnp.ones((256, 256), jnp.float32)
+    _t_end = time.perf_counter() + float(
+        os.environ.get("BENCH_BURNIN_S", "4")
+    )
+    while time.perf_counter() < _t_end:
+        float(np.asarray(_burn(_x)))
+
+
     # BENCH_LOOP=device wraps the iterations in one on-device fori_loop
     # (rolled inputs, one checksum). Measured PATHOLOGICAL on this
     # backend (8.6 vs 112 fps at batch 64 — the loop-wrapped pipeline
@@ -125,7 +140,7 @@ def main() -> None:
         # 2-3x slower than steady state (and the first TIMED region in a
         # process reads slow even after per-stage warm-up — NOTES.md
         # measurement protocol).
-        for _ in range(int(os.environ.get("BENCH_WARM", "6"))):
+        for _ in range(int(os.environ.get("BENCH_WARM", "12"))):
             if host_loop:
                 out = step(frames)
                 _ = float(jnp.sum(out[3]))
@@ -251,8 +266,23 @@ def main_ast(batch: int, iters: int) -> None:
     )
     frames = jnp.asarray(bench_frames(batch))
 
+    # Backend burn-in with a SEPARATE small executable: the first timed
+    # region in a process reads up to 2x slow through the tunnel even
+    # after many warm iterations of the benchmark executable itself
+    # (measured 113 vs 185 fps at batch 64 — NOTES.md measurement
+    # protocol); a few seconds of unrelated compiled readback loops
+    # brings the backend to steady state before warm-up.
+    _burn = jax.jit(lambda a: (a @ a).sum() + 1.0)
+    _x = jnp.ones((256, 256), jnp.float32)
+    _t_end = time.perf_counter() + float(
+        os.environ.get("BENCH_BURNIN_S", "4")
+    )
+    while time.perf_counter() < _t_end:
+        float(np.asarray(_burn(_x)))
+
+
     with mesh:
-        for _ in range(int(os.environ.get("BENCH_WARM", "6"))):
+        for _ in range(int(os.environ.get("BENCH_WARM", "12"))):
             out = pipe.step(frames)
             _ = float(jnp.sum(out[3]))
         t0 = time.perf_counter()
