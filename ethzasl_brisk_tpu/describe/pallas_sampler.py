@@ -119,10 +119,12 @@ def _kernel(
                 jnp.int32, (ph_win, pl8), 0
             )
             rows_out = []
-            for i in range(8):
+            for i in range(6):
                 ri = relr_ref[j, i].reshape(1, pl8)
                 mask = (sub_h == ri).astype(jnp.float32)
                 rows_out.append(jnp.sum(mask * sel, axis=0))  # (pl8,)
+            zero = rows_out[0] * 0.0
+            rows_out += [zero, zero]  # pad the 8-sublane output tile
             taps_ref[j] = jnp.stack(rows_out, axis=0).astype(jnp.int32)
 
         jax.lax.fori_loop(0, g, body, None, unroll=False)
@@ -170,13 +172,29 @@ def smoothed_intensity_patch_pallas(
     cmin = cols_q.reshape(k, -1).min(axis=1)
     cmax = cols_q.reshape(k, -1).max(axis=1)
 
-    # Bucket assignment — identical to smoothed_intensity_patch_ms.
+    # Bucket list: before each configured (ph, pw) bucket, an ALIGNED
+    # variant whose window is exactly the keypoint's 128-lane tile —
+    # half the DMA bytes and half the one-hot matmul K-dim; ~half of
+    # keypoints (those whose taps don't straddle a tile boundary)
+    # qualify. Tap values are bucket-invariant for fitting keypoints,
+    # so results stay bit-identical to patch_ms (whose fit/clip
+    # semantics the non-aligned buckets replicate; the catch-all LAST
+    # bucket is always the configured largest).
+    buckets = []
+    for ph, pw in patch_sizes:
+        buckets.append((ph, 128, True))
+        buckets.append((ph, pw, False))
+    n_b = len(buckets)
+
     branch = jnp.full((k,), n_b - 1, jnp.int32)
     anchors = []
     for b in range(n_b - 1, -1, -1):
-        ph, pw = patch_sizes[b]
+        ph, pw, aligned = buckets[b]
         ay = jnp.clip(ty - ph // 2, 0, max(frame_rows_i - ph, 0))
-        ax = jnp.clip(tx - pw // 2, 0, max(cols_i - pw, 0))
+        if aligned:
+            ax = jnp.maximum((tx // 128) * 128, 0)
+        else:
+            ax = jnp.clip(tx - pw // 2, 0, max(cols_i - pw, 0))
         anchors.append((ay, ax))
         fits = (
             (rmin >= ay) & (rmax <= ay + ph - 1)
@@ -216,8 +234,8 @@ def smoothed_intensity_patch_pallas(
     bsel = proc_b[None, :] == jnp.arange(n_b, dtype=jnp.int32)[:, None]
     ay_l = jnp.sum(jnp.where(bsel, ay_b, 0), axis=0)  # frame-local
     ax_l = jnp.sum(jnp.where(bsel, ax_b, 0), axis=0)
-    ph_of = jnp.asarray([ph for ph, _ in patch_sizes], jnp.int32)
-    pw_of = jnp.asarray([pw for _, pw in patch_sizes], jnp.int32)
+    ph_of = jnp.asarray([b[0] for b in buckets], jnp.int32)
+    pw_of = jnp.asarray([b[1] for b in buckets], jnp.int32)
     ph_k = ph_of[proc_b]
     pw_k = pw_of[proc_b]
 
@@ -255,20 +273,19 @@ def smoothed_intensity_patch_pallas(
     )
 
     # Pre-flattened index vectors (Mosaic cannot reshape lanes in the
-    # kernel): cols (K, p*8) with lane = point*8 + jcol (2 pad lanes per
-    # point, pointing at (0,0) and never consumed); rows (K, 6, p*8)
-    # with row-tap i's coordinate broadcast over the point's 8 lanes.
-    def pad6(a):
-        return jnp.pad(a, ((0, 0), (0, 0), (0, 2)))
-
-    pl8 = -(-(p * 8) // 128) * 128  # lane dim must be a 128 multiple
-    colsf = pad6(cols_s).reshape(k, p * 8)
-    colsf = jnp.pad(colsf, ((0, 0), (0, pl8 - p * 8)))
+    # kernel); rows (K, 6, p*6) carry row-tap i's coordinate broadcast
+    # over the point's 6 col lanes.
+    # Tight lane packing: lane = point*6 + jcol (396 lanes for p=66),
+    # padded to the next 128 multiple (512) — 20% less one-hot MXU work
+    # than the earlier 8-lanes-per-point layout (640 lanes).
+    pl8 = -(-(p * 6) // 128) * 128  # lane dim must be a 128 multiple
+    colsf = cols_s.reshape(k, p * 6)
+    colsf = jnp.pad(colsf, ((0, 0), (0, pl8 - p * 6)))
     rowsf = jnp.repeat(
-        jnp.transpose(rows_s, (0, 2, 1)), 8, axis=2
-    )  # (K, 6, p*8)
+        jnp.transpose(rows_s, (0, 2, 1)), 6, axis=2
+    )  # (K, 6, p*6)
     rowsf = jnp.pad(
-        rowsf, ((0, 0), (0, 2), (0, pl8 - p * 8))
+        rowsf, ((0, 0), (0, 2), (0, pl8 - p * 6))
     )  # i axis 6 -> 8 sublane alignment
     relr = pad0(rowsf).reshape(n_groups, group, 8, pl8)
     relc = pad0(colsf).reshape(n_groups, group, pl8)
@@ -278,8 +295,9 @@ def smoothed_intensity_patch_pallas(
     br_g = pad0(br_s).reshape(n_groups, group).max(axis=1)
 
     taps = jnp.zeros((n_groups, group, 8, pl8), jnp.int32)
-    for b, (ph, pw) in enumerate(patch_sizes):
-        ph_win, pw_win = ph + 8, pw + 128
+    for b, (ph, pw, aligned) in enumerate(buckets):
+        ph_win = ph + 8
+        pw_win = pw if aligned else pw + 128
         kernel = functools.partial(
             _kernel, group, ph_win, pw_win, pl8, rows_i, b
         )
@@ -330,8 +348,8 @@ def smoothed_intensity_patch_pallas(
         )(ay8_p, ax128_p, br_g, integral, relr, relc, taps)
 
     # (n_groups, group, 8i, pl8) -> (K, p, 6, 6) in input order.
-    taps = taps.reshape(n_groups * group, 8, pl8)[:k, :6, : p * 8]
-    taps = taps.reshape(k, 6, p, 8)[:, :, :, :6]
+    taps = taps.reshape(n_groups * group, 8, pl8)[:k, :6, : p * 6]
+    taps = taps.reshape(k, 6, p, 6)
     taps = jnp.transpose(taps, (0, 2, 1, 3))  # (K, p, 6i, 6jcol)
     taps = jnp.take(taps, inv, axis=0)
     return _values_from_taps(
