@@ -260,9 +260,9 @@ def main_ast(batch: int, iters: int) -> None:
     mesh = make_mesh(1, 1)
     pipe = AstFramePipeline(
         detector=detector, mesh=mesh,
-        # patch_pallas: fused DMA-pipelined Pallas sampler (bit-equal;
-        # 31.6 vs 52.5 ms/phase standalone, 80 -> 90 fps e2e @batch16).
-        sampler=os.environ.get("BENCH_SAMPLER", "patch_pallas"),
+        # patch_ms: measured faster than patch_pallas at the AST octave-3
+        # window sizes (4.7 vs 2.1 fps — AstFramePipeline default).
+        sampler=os.environ.get("BENCH_SAMPLER", "patch_ms"),
     )
     frames = jnp.asarray(bench_frames(batch))
 

@@ -45,6 +45,10 @@ def _trunc_div(val: jnp.ndarray, d: int) -> jnp.ndarray:
 # Optional probe sink: when a list, the exact-angle host callback appends
 # (d0, d1) integer direction sums (tools/probe_angle.py uses this to
 # discriminate candidate C++ float-promotion chains against the goldens).
+# NOTE: the append happens inside jax.pure_callback, which JAX may cache,
+# elide, or replay — the sink is only meaningful when the describe call
+# runs EAGERLY (jax.disable_jit), as tools/probe_angle.py does; never
+# rely on it under jit.
 _ANGLE_DEBUG_SINK: list | None = None
 
 

@@ -43,7 +43,7 @@ from ethzasl_brisk_tpu.describe.fast_sampler import (
 
 def _kernel(
     g: int, ph_win: int, pw_win: int, pl8: int, n_rows: int,
-    bucket_id: int,
+    bucket_id: int, n_limbs: int,
     # prefetch scalars
     ay_ref, ax_ref, br_ref,
     # array inputs
@@ -95,26 +95,43 @@ def _kernel(
             )
             oh_c = (sub_w == colv).astype(jnp.bfloat16)  # (pw_win, pl8)
             # Mosaic does NOT honor precision=HIGHEST (measured: bf16
-            # truncation of the window values). Split into three 8-bit
-            # limbs — each limb (< 256) is bf16-exact, each dot output
-            # selects a single limb value, and the f32 recombination is
-            # exact (< 2^24). Three 1-pass bf16 dots.
-            sel = None
-            for shift_amt, scale_f in ((0, 1.0), (8, 256.0),
-                                       (16, 65536.0)):
+            # truncation of the window values). Split into 8-bit limbs —
+            # each limb (< 256) is bf16-exact and each dot output selects
+            # a single limb value, so every `part` is f32-exact. Small
+            # windows (max anchored value ph_win*pw_win*255 < 2^24) use 3
+            # limbs recombined into ONE exact f32 accumulator; larger
+            # windows (e.g. the AST 256x256 catch-all bucket: 264*384*255
+            # ~ 25.9M > 2^24) use 4 limbs in TWO accumulators — f32
+            # cannot represent odd integers >= 2^24, so limbs {0,1} and
+            # {2,3} are each recombined to an exact < 2^16 value, row-
+            # picked separately, and rejoined in int32 after the pick.
+            def limb_dot(shift_amt):
                 limb = ((anchored_i >> shift_amt) & 0xFF).astype(
                     jnp.bfloat16
                 )
-                part = jax.lax.dot_general(
+                return jax.lax.dot_general(
                     limb, oh_c,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                sel = part * scale_f if sel is None else sel + part * scale_f
-            # (ph_win, pl8) f32, exact
 
-            # Row pick: six sublane mask-reduces (i = 0..5); the i axis
-            # is padded to 8 sublanes and written as one aligned tile.
+            if n_limbs <= 3:
+                sels = [
+                    limb_dot(0) + limb_dot(8) * 256.0
+                    + limb_dot(16) * 65536.0
+                ]
+                weights = [1]
+            else:
+                sels = [
+                    limb_dot(0) + limb_dot(8) * 256.0,
+                    limb_dot(16) + limb_dot(24) * 256.0,
+                ]
+                weights = [1, 65536]
+            # each (ph_win, pl8) f32, exact
+
+            # Row pick: six sublane mask-reduces (i = 0..5) per
+            # accumulator; the i axis is padded to 8 sublanes and written
+            # as one aligned tile.
             sub_h = jax.lax.broadcasted_iota(
                 jnp.int32, (ph_win, pl8), 0
             )
@@ -122,10 +139,16 @@ def _kernel(
             for i in range(6):
                 ri = relr_ref[j, i].reshape(1, pl8)
                 mask = (sub_h == ri).astype(jnp.float32)
-                rows_out.append(jnp.sum(mask * sel, axis=0))  # (pl8,)
-            zero = rows_out[0] * 0.0
+                acc = None
+                for sel, wgt in zip(sels, weights):
+                    picked = jnp.sum(mask * sel, axis=0).astype(
+                        jnp.int32
+                    ) * wgt
+                    acc = picked if acc is None else acc + picked
+                rows_out.append(acc)  # (pl8,) int32
+            zero = rows_out[0] * 0
             rows_out += [zero, zero]  # pad the 8-sublane output tile
-            taps_ref[j] = jnp.stack(rows_out, axis=0).astype(jnp.int32)
+            taps_ref[j] = jnp.stack(rows_out, axis=0)
 
         jax.lax.fori_loop(0, g, body, None, unroll=False)
 
@@ -298,8 +321,11 @@ def smoothed_intensity_patch_pallas(
     for b, (ph, pw, aligned) in enumerate(buckets):
         ph_win = ph + 8
         pw_win = pw if aligned else pw + 128
+        # 4 bf16 limbs (two exact f32 accumulators) once the window's
+        # max anchored value can exceed 2^24; 3 limbs otherwise.
+        n_limbs = 3 if ph_win * pw_win * 255 < 2**24 else 4
         kernel = functools.partial(
-            _kernel, group, ph_win, pw_win, pl8, rows_i, b
+            _kernel, group, ph_win, pw_win, pl8, rows_i, b, n_limbs
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,

@@ -290,3 +290,55 @@ class TestPallasSampler:
             interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_pallas_sampler_big_bucket_over_2pow24(self):
+        """AST-size (256,256) bucket: window anchored values exceed 2^24
+        on bright images — exercises the 4-limb split-accumulator path
+        (3 bf16 limbs silently drop bit 24 there; ADVICE round 3)."""
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.core.pattern import brisk_v2_pattern
+        from ethzasl_brisk_tpu.describe.extractor import (
+            DevicePattern,
+            _stack_frames,
+            scale_index,
+        )
+        from ethzasl_brisk_tpu.describe.fast_sampler import (
+            smoothed_intensity_patch_ms,
+        )
+        from ethzasl_brisk_tpu.describe.pallas_sampler import (
+            smoothed_intensity_patch_pallas,
+        )
+
+        rng = np.random.default_rng(11)
+        H, W = 320, 420
+        # Bright image: anchored integral values in the 264x384 window
+        # reach ~ r*c*250 > 2^24 for bottom-right taps.
+        img = (255 - rng.integers(0, 8, (1, H, W))).astype(np.uint8)
+        imgs = jnp.asarray(img)
+        img_pad, int_flat = _stack_frames(imgs)
+        K = 16
+        # Keypoints toward the bottom-right so taps land at high window
+        # coordinates; large sizes so only the catch-all bucket fits.
+        kx = jnp.asarray(rng.uniform(250, 360, (K,)).astype(np.float32))
+        ky = jnp.asarray(rng.uniform(200, 260, (K,)).astype(np.float32))
+        sizes = jnp.asarray(
+            rng.choice([96.0, 128.0], (K,)).astype(np.float32)
+        )
+        row_base = jnp.zeros((K,), jnp.int32)
+        pat = DevicePattern.from_host(brisk_v2_pattern(1.0))
+        sidx = scale_index(sizes, True)
+        args = (
+            img_pad, int_flat, kx, ky,
+            pat.lut_x[sidx, 0], pat.lut_y[sidx, 0], pat.lut_sigma[sidx],
+            pat.lut_scaling[sidx], pat.lut_scaling2[sidx],
+        )
+        cfg = ((64, 128), (256, 256))
+        ref = smoothed_intensity_patch_ms(
+            *args, patch_sizes=cfg, row_base=row_base, frame_rows=H
+        )
+        got = smoothed_intensity_patch_pallas(
+            *args, patch_sizes=cfg, row_base=row_base, frame_rows=H,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
