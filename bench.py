@@ -127,6 +127,31 @@ def main() -> None:
     # and is included in the published number.
     host_loop = os.environ.get("BENCH_LOOP", "host") == "host"
 
+    # BENCH_UNROLL=K amortizes the per-call tunnel dispatch cost over K
+    # Python-UNROLLED pipeline steps inside one jitted call (straight-
+    # line graph, not the pathological fori_loop). Each step consumes a
+    # differently-rolled frame batch so XLA cannot CSE the repeats; the
+    # single final readback still fences every step (honest timing).
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    if unroll > 1:
+        from functools import partial as _partial
+
+        import jax as _jax
+
+        from ethzasl_brisk_tpu.parallel.frames import _pipeline_step
+
+        @_partial(_jax.jit, static_argnames=("feat", "msh", "k"))
+        def unrolled_steps(pattern, fr, feat, msh, k):
+            acc = jnp.zeros((), jnp.int32)
+            for i in range(k):
+                out = _pipeline_step(
+                    pattern, jnp.roll(fr, i + 1, axis=0), feat, msh
+                )
+                acc = acc + jnp.sum(out[3])
+            return acc
+
+        pat_arg = feature.extractor.pattern
+
     def run_iters(fr, n):
         def body(i, acc):
             out = step(jnp.roll(fr, i, axis=0))
@@ -140,16 +165,31 @@ def main() -> None:
         # 2-3x slower than steady state (and the first TIMED region in a
         # process reads slow even after per-stage warm-up — NOTES.md
         # measurement protocol).
-        for _ in range(int(os.environ.get("BENCH_WARM", "12"))):
-            if host_loop:
-                out = step(frames)
-                _ = float(jnp.sum(out[3]))
-            else:
-                _ = float(np.asarray(jax.jit(run_iters,
-                                             static_argnums=1)(frames, 2)))
+        warm_n = int(os.environ.get("BENCH_WARM", "12"))
+        if unroll > 1:
+            iters = (iters // unroll) * unroll or unroll
+            for _ in range(max(warm_n // unroll, 2)):
+                _ = float(np.asarray(unrolled_steps(
+                    pat_arg, frames, feature, mesh, unroll
+                )))
+        else:
+            for _ in range(warm_n):
+                if host_loop:
+                    out = step(frames)
+                    _ = float(jnp.sum(out[3]))
+                else:
+                    _ = float(np.asarray(jax.jit(run_iters,
+                                                 static_argnums=1)(frames, 2)))
 
         t0 = time.perf_counter()
-        if host_loop:
+        if unroll > 1:
+            acc = jnp.zeros((), jnp.int32)
+            for _ in range(iters // unroll):
+                acc = acc + unrolled_steps(
+                    pat_arg, frames, feature, mesh, unroll
+                )
+            checksum = int(np.asarray(acc))
+        elif host_loop:
             acc = jnp.zeros((), jnp.int32)
             for _ in range(iters):
                 out = step(frames)
@@ -215,6 +255,112 @@ def main() -> None:
         )
         timed("describe", ext_fn, pat, frames, kps)
 
+    roofline = None
+    if os.environ.get("BENCH_ROOFLINE"):
+        # MFU / bandwidth roofline: measure this slice's peaks, time
+        # detect/describe/match, and compare against static shape math
+        # (utils/roofline.py). Goes to stderr + the JSON line.
+        from ethzasl_brisk_tpu.describe.extractor import (
+            extract_descriptors_batch as _edb,
+        )
+        from ethzasl_brisk_tpu.match.matcher import (
+            hamming_distance_matrix,
+        )
+        from ethzasl_brisk_tpu.utils import roofline as rl
+
+        peaks = rl.measure_peaks()
+        print(
+            f"peaks: {peaks['peak_gflops']:.1f} GFLOP/s f32, "
+            f"{peaks['peak_gbs']:.2f} GB/s",
+            file=sys.stderr,
+        )
+        det_fn = jax.jit(jax.vmap(feature.detect))
+        pat = feature.extractor.pattern
+        ext_fn = jax.jit(
+            lambda p, f, k: _edb(
+                p, f, k,
+                rotation_invariant=feature.rotation_invariant,
+                scale_invariant=feature.scale_invariant,
+                sampler=feature.sampler,
+                patch_h=feature.patch_h,
+                patch_w=feature.patch_w,
+            )
+        )
+
+        def _time(fn, *args, iters_r=6):
+            for _ in range(4):
+                o = fn(*args)
+                acc = sum(
+                    jnp.sum(x, dtype=jnp.float32)
+                    for x in jax.tree_util.tree_leaves(o)
+                    if isinstance(x, jax.Array)
+                )
+                float(np.asarray(acc))
+            t0r = time.perf_counter()
+            accs = []
+            for _ in range(iters_r):
+                o = fn(*args)
+                accs.append(sum(
+                    jnp.sum(x, dtype=jnp.float32)
+                    for x in jax.tree_util.tree_leaves(o)
+                    if isinstance(x, jax.Array)
+                ))
+            float(np.asarray(sum(accs)))
+            return (time.perf_counter() - t0r) / iters_r * 1e3, o
+
+        det_ms, kps2 = _time(det_fn, frames)
+        desc_ms, dsc = _time(ext_fn, pat, frames, kps2)
+        _, desc_out = dsc
+
+        def match_fn(d, v):
+            def pair(qd, td, tv):
+                dd = hamming_distance_matrix(qd, td)
+                dd = jnp.where(tv[None, :], dd, 385)
+                return jnp.min(dd, axis=1)
+
+            return jax.vmap(pair)(d[1:], d[:-1], v[:-1])
+
+        match_ms, _ = _time(
+            jax.jit(match_fn), desc_out, dsc[0].valid
+        )
+        model = rl.stage_model(
+            batch=batch, h=H, w=W, n_layers=feature.octaves * 2,
+            max_candidates=feature.max_candidates,
+            max_keypoints=feature.max_keypoints,
+            describe_slots=feature.describe_capacity or
+            feature.max_keypoints,
+        )
+        # Aggregate the detect sub-stages into one measured number.
+        det_model = dict(
+            gflops=sum(model[s]["gflops"] for s in
+                       ("scores", "masks", "uniformity", "refine")),
+            gbytes=sum(model[s]["gbytes"] for s in
+                       ("scores", "masks", "top_k", "uniformity",
+                        "refine")),
+            kind="bw",
+        )
+        stage_ms = {
+            "detect": det_ms, "describe": desc_ms, "match": match_ms,
+        }
+        roofline = rl.report(
+            stage_ms,
+            {"detect": det_model, "describe": model["describe"],
+             "match": model["match"]},
+            peaks,
+        )
+        roofline["peaks"] = {
+            "gflops": round(peaks["peak_gflops"], 1),
+            "gbs": round(peaks["peak_gbs"], 2),
+        }
+        worst = min(
+            (s for s in roofline if s != "peaks"),
+            key=lambda s: max(roofline[s]["mfu"],
+                              roofline[s]["bandwidth_frac"]),
+        )
+        roofline["lowest_utilization_stage"] = worst
+        for s, d in roofline.items():
+            print(f"  roofline {s}: {d}", file=sys.stderr)
+
     n_valid = np.asarray(jnp.sum(out[0].valid, axis=1))
     print(
         f"config: octaves={feature.octaves} uradius="
@@ -224,19 +370,18 @@ def main() -> None:
         f"min={n_valid.min()} max={n_valid.max()}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "frames_per_s_per_chip_640x480_detect_describe_match"
-                    "_uniformity30"
-                ),
-                "value": round(fps, 2),
-                "unit": "frames/s/chip",
-                "vs_baseline": round(fps / TARGET_FPS, 4),
-            }
-        )
-    )
+    payload = {
+        "metric": (
+            "frames_per_s_per_chip_640x480_detect_describe_match"
+            "_uniformity30"
+        ),
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / TARGET_FPS, 4),
+    }
+    if roofline is not None:
+        payload["roofline"] = roofline
+    print(json.dumps(payload))
 
 
 def main_ast(batch: int, iters: int) -> None:

@@ -205,3 +205,117 @@ def solve_window_ba(
 
     costs0 = jnp.zeros((iterations,), problem.r.dtype)
     return jax.lax.fori_loop(0, iterations, body, (problem, costs0))
+
+
+def robust_cost(p: BaProblem, huber_delta: float = 0.0) -> jax.Array:
+    """True robust objective: sum over valid observations of the Huber
+    rho of the residual norm (plain squared norm when huber_delta == 0).
+    This is what LM accept/reject compares — NOT the IRLS surrogate
+    sum(w * r^2), whose weights change with the iterate."""
+    res, _, _, w = _residual_and_jacobians(p)
+    s2 = jnp.sum(res * res, -1)
+    if huber_delta > 0.0:
+        s = jnp.sqrt(s2 + 1e-12)
+        rho = jnp.where(
+            s <= huber_delta, s2, huber_delta * (2.0 * s - huber_delta)
+        )
+    else:
+        rho = s2
+    return jnp.sum(w * rho)
+
+
+@partial(
+    jax.jit, static_argnames=("iterations", "fix_poses", "huber_delta")
+)
+def solve_window_ba_lm(
+    problem: BaProblem, iterations: int = 10, damping: float = 1e-3,
+    fix_poses: int = 1, huber_delta: float = 0.0,
+    lambda_down: float = 1.0 / 3.0, lambda_up: float = 4.0,
+):
+    """Levenberg-Marquardt with step accept/reject.
+
+    Each iteration solves the damped system, RE-EVALUATES the true
+    robust cost at the candidate, and only accepts steps that decrease
+    it (shrinking lambda); rejected steps keep the iterate and grow
+    lambda. The objective is therefore monotonically non-increasing —
+    on degenerate geometry (planar scenes, low parallax) the solver
+    stalls at the incumbent instead of diverging, which replaces the
+    post-hoc --ba-max-shift divergence gate (round-3 VERDICT item 5).
+
+    Returns (problem, costs, lambdas); costs[i] is the accepted
+    objective after iteration i.
+    """
+    dt = problem.r.dtype
+
+    def body(i, state):
+        prob, lam, cost0, costs, lams = state
+        cand, _ = _gauss_newton_step(prob, lam, fix_poses, huber_delta)
+        cost1 = robust_cost(cand, huber_delta)
+        # Reject non-finite candidates outright (singular Schur solve).
+        accept = jnp.isfinite(cost1) & (cost1 < cost0)
+        prob = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), cand, prob
+        )
+        cost = jnp.where(accept, cost1, cost0)
+        lam = jnp.where(accept, lam * lambda_down, lam * lambda_up)
+        lam = jnp.clip(lam, 1e-10, 1e8)
+        return (
+            prob, lam, cost,
+            costs.at[i].set(cost), lams.at[i].set(lam),
+        )
+
+    cost_init = robust_cost(problem, huber_delta)
+    state0 = (
+        problem, jnp.asarray(damping, dt), cost_init,
+        jnp.zeros((iterations,), dt), jnp.zeros((iterations,), dt),
+    )
+    prob, _, _, costs, lams = jax.lax.fori_loop(
+        0, iterations, body, state0
+    )
+    return prob, costs, lams
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "fix_poses", "huber_delta", "trim_sigma"
+    ),
+)
+def solve_window_ba_trimmed(
+    problem: BaProblem, iterations: int = 12, damping: float = 1e-3,
+    fix_poses: int = 1, huber_delta: float = 0.0,
+    trim_sigma: float = 3.0,
+):
+    """Two-stage trimmed LM: solve, reject gross outlier observations,
+    re-solve from the ORIGINAL iterate on the trimmed set.
+
+    Huber bounds an outlier's gradient but never zeroes it — a
+    coherent set of wrong observations (e.g. tracks on a moving
+    occluder) still biases the optimum. After a first LM pass, any
+    observation whose residual norm exceeds
+    ``trim_sigma * max(median residual, 1px)`` at the stage-1 solution
+    is invalidated, and LM restarts from the original poses/points on
+    the surviving set. Returns (problem, costs, n_trimmed).
+    """
+    half = max(iterations // 2, 1)
+    stage1, _, _ = solve_window_ba_lm(
+        problem, iterations=half, damping=damping,
+        fix_poses=fix_poses, huber_delta=huber_delta,
+    )
+    res, _, _, w = _residual_and_jacobians(stage1)
+    rnorm = jnp.sqrt(jnp.sum(res * res, -1) + 1e-12)
+    # Median over the VALID observations (invalid sorted to +inf).
+    big = jnp.float32(1e30)
+    rv = jnp.where(w > 0, rnorm, big)
+    n_valid = jnp.sum(w > 0).astype(jnp.int32)
+    sorted_r = jnp.sort(rv)
+    med = sorted_r[jnp.clip(n_valid // 2, 0, rv.shape[0] - 1)]
+    thr = trim_sigma * jnp.maximum(med, 1.0)
+    keep = problem.valid & (rnorm <= thr)
+    n_trimmed = jnp.sum(problem.valid) - jnp.sum(keep)
+    trimmed = dataclasses.replace(problem, valid=keep)
+    solved, costs, _ = solve_window_ba_lm(
+        trimmed, iterations=iterations - half, damping=damping,
+        fix_poses=fix_poses, huber_delta=huber_delta,
+    )
+    return solved, costs, n_trimmed

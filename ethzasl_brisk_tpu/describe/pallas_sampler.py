@@ -15,9 +15,11 @@ fast_sampler._contract_taps: the anchored window values stay < 2^24
 base cancels), and the matmul runs f32 at Precision.HIGHEST.
 
 Bucketing mirrors smoothed_intensity_patch_ms: keypoints are sorted by
-the smallest patch bucket that contains their taps; one pallas_call per
-bucket processes only the groups whose (sorted) members belong to it
-(@pl.when skip otherwise), chained through input_output_aliasing.
+the smallest patch bucket that contains their taps; ONE pallas_call
+processes every group, each grid step branching (@pl.when) into its
+group's bucket — per-bucket statically-shaped window scratch and DMA
+geometry — so the taps output is written exactly once (the earlier
+bucket-chained design re-copied the whole taps array per bucket).
 
 Alignment rules (Mosaic DMA): row offsets 8-aligned (int32 sublane),
 col offsets 128-aligned (lane tile) — windows are (ph + 8) x (pw + 128)
@@ -42,20 +44,42 @@ from ethzasl_brisk_tpu.describe.fast_sampler import (
 
 
 def _kernel(
-    g: int, ph_win: int, pw_win: int, pl8: int, n_rows: int,
-    bucket_id: int, n_limbs: int,
+    g: int, buckets: tuple, pl8: int, n_rows: int,
     # prefetch scalars
     ay_ref, ax_ref, br_ref,
     # array inputs
-    int_hbm, relr_ref, relc_ref, taps_in_ref,
+    int_hbm, relr_ref, relc_ref,
     # outputs
     taps_ref,
-    # scratch
-    win_ref, sem,
+    # scratch: one double-buffered window per bucket + one DMA sem array
+    *scratch,
 ):
+    """One grid step = one keypoint group. The group's bucket id selects
+    one statically-shaped branch (its own VMEM window scratch + DMA
+    geometry) via @pl.when — every group is processed EXACTLY once, in
+    ONE kernel launch, instead of the earlier chain of one pallas_call
+    per bucket whose non-owned groups paid a full taps block copy
+    (6x the taps HBM traffic plus per-call launch latency)."""
+    win_refs = scratch[:-1]
+    sem = scratch[-1]  # (n_buckets, 2) DMA semaphores
     gi = pl.program_id(0)
 
-    owned = br_ref[gi] == bucket_id
+    for b, (ph, pw, aligned) in enumerate(buckets):
+        _bucket_branch(
+            g, ph + 8, pw if aligned else pw + 128, pl8, b,
+            ay_ref, ax_ref, br_ref, int_hbm, relr_ref, relc_ref,
+            taps_ref, win_refs[b], sem, gi,
+        )
+
+
+def _bucket_branch(
+    g, ph_win, pw_win, pl8, bucket_id,
+    ay_ref, ax_ref, br_ref, int_hbm, relr_ref, relc_ref,
+    taps_ref, win_ref, sem, gi,
+):
+    # 4 bf16 limbs (two exact f32 accumulators) once the window's max
+    # anchored value can exceed 2^24; 3 limbs otherwise.
+    n_limbs = 3 if ph_win * pw_win * 255 < 2**24 else 4
 
     def dma(slot, j):
         ay = pl.multiple_of(ay_ref[gi * g + j], 8)
@@ -63,10 +87,10 @@ def _kernel(
         return pltpu.make_async_copy(
             int_hbm.at[pl.ds(ay, ph_win), pl.ds(ax, pw_win)],
             win_ref.at[slot],
-            sem.at[slot],
+            sem.at[bucket_id, slot],
         )
 
-    @pl.when(owned)
+    @pl.when(br_ref[gi] == bucket_id)
     def _process():
         dma(0, 0).start()
 
@@ -152,10 +176,6 @@ def _kernel(
 
         jax.lax.fori_loop(0, g, body, None, unroll=False)
 
-    @pl.when(jnp.logical_not(owned))
-    def _passthrough():
-        taps_ref[...] = taps_in_ref[...]
-
 
 @functools.partial(
     jax.jit,
@@ -211,6 +231,7 @@ def smoothed_intensity_patch_pallas(
 
     branch = jnp.full((k,), n_b - 1, jnp.int32)
     anchors = []
+    fits_by_b = [None] * n_b
     for b in range(n_b - 1, -1, -1):
         ph, pw, aligned = buckets[b]
         ay = jnp.clip(ty - ph // 2, 0, max(frame_rows_i - ph, 0))
@@ -223,6 +244,16 @@ def smoothed_intensity_patch_pallas(
             (rmin >= ay) & (rmax <= ay + ph - 1)
             & (cmin >= ax) & (cmax <= ax + pw - 1)
         )
+        if aligned:
+            # An aligned bucket may only take keypoints that ALSO fit
+            # its non-aligned sibling: a keypoint fitting the 128-lane
+            # tile but straddling the sibling's [tx-pw/2, ...) window
+            # would be computed exactly here while patch_ms clips it at
+            # the catch-all — breaking the bitwise pallas==patch_ms
+            # contract the TPU-vs-CPU parity gate relies on (found
+            # 2026-08-20: one tap off by 1 on the bench distribution).
+            fits = fits & fits_by_b[b + 1]
+        fits_by_b[b] = fits
         if b < n_b - 1:
             branch = jnp.where(fits, jnp.int32(b), branch)
     anchors = anchors[::-1]
@@ -245,11 +276,34 @@ def smoothed_intensity_patch_pallas(
     def pad0(a):
         return jnp.pad(a, [(0, pad_k)] + [(0, 0)] * (a.ndim - 1))
 
-    # Processing bucket = the GROUP's max branch (exactly like the
-    # chunk-level lax.switch of patch_ms): anchors AND the out-of-extent
-    # clipping below must use the processing bucket's geometry, or
-    # clipped taps of over-extent keypoints diverge from patch_ms.
+    # Processing bucket = the first bucket >= the GROUP's max branch
+    # that contains EVERY member's taps, else the catch-all. The naive
+    # group max (patch_ms's chunk rule) is NOT sufficient here because
+    # of the aligned bucket variants: a member whose taps straddle a
+    # 128-lane tile boundary (non-aligned branch) can land in a group
+    # whose max branch is ALIGNED — the aligned window cannot contain
+    # its taps and the clip corrupts them (found 2026-08-20: slice-
+    # dependent mismatches vs patch_ms). With the promotion, a group is
+    # processed either in a bucket containing all members (exact,
+    # bucket-invariant values == patch_ms) or in the catch-all, whose
+    # clip geometry is exactly patch_ms's catch-all clip.
     br_g_pre = pad0(br_s).reshape(n_groups, group).max(axis=1)
+    fits_s = jnp.stack(
+        [take(f) for f in fits_by_b], axis=0
+    )  # (n_b, K) sorted keypoint order
+    fits_g = jnp.all(
+        jnp.pad(
+            fits_s, ((0, 0), (0, pad_k)), constant_values=True
+        ).reshape(n_b, n_groups, group),
+        axis=2,
+    )  # (n_b, n_groups): bucket contains every member of the group
+    b_iota = jnp.arange(n_b, dtype=jnp.int32)[:, None]
+    cand = fits_g & (b_iota >= br_g_pre[None, :])
+    br_g_pre = jnp.where(
+        jnp.any(cand, axis=0),
+        jnp.argmax(cand, axis=0).astype(jnp.int32),
+        jnp.int32(n_b - 1),
+    )
     proc_b = jnp.repeat(br_g_pre, group)[: k]  # (K,) sorted order
 
     ay_b = jnp.stack([take(a[0]) for a in anchors], 0)  # (n_b, K)
@@ -314,64 +368,58 @@ def smoothed_intensity_patch_pallas(
     relc = pad0(colsf).reshape(n_groups, group, pl8)
     ay8_p = pad0(ay8).reshape(-1)
     ax128_p = pad0(ax128).reshape(-1)
-    # Group branch: max over the group's (sorted) members.
-    br_g = pad0(br_s).reshape(n_groups, group).max(axis=1)
+    # Group processing bucket (promoted — see proc_b above).
+    br_g = br_g_pre
 
-    taps = jnp.zeros((n_groups, group, 8, pl8), jnp.int32)
-    for b, (ph, pw, aligned) in enumerate(buckets):
-        ph_win = ph + 8
-        pw_win = pw if aligned else pw + 128
-        # 4 bf16 limbs (two exact f32 accumulators) once the window's
-        # max anchored value can exceed 2^24; 3 limbs otherwise.
-        n_limbs = 3 if ph_win * pw_win * 255 < 2**24 else 4
-        kernel = functools.partial(
-            _kernel, group, ph_win, pw_win, pl8, rows_i, b, n_limbs
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(n_groups,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(
-                    (1, group, 8, pl8), lambda i, *_: (i, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, group, pl8), lambda i, *_: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, group, 8, pl8), lambda i, *_: (i, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
+    # ONE kernel launch for all buckets: each grid step branches on its
+    # group's bucket id into that bucket's statically-shaped window
+    # scratch (per-bucket double buffers; VMEM total is the sum over
+    # buckets — well under budget at every supported config).
+    kernel = functools.partial(
+        _kernel, group, tuple(buckets), pl8, rows_i
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
                 (1, group, 8, pl8), lambda i, *_: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, ph_win, pw_win), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            pl.BlockSpec(
+                (1, group, pl8), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, group, 8, pl8), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, ph + 8, pw if aligned else pw + 128), jnp.int32
+            )
+            for (ph, pw, aligned) in buckets
+        ] + [pltpu.SemaphoreType.DMA((n_b, 2))],
+    )
+
+    def squeeze_kernel(ay_r, ax_r, br_r, int_r, rr_r, rc_r,
+                       to_r, *scratch):
+        kernel(
+            ay_r, ax_r, br_r, int_r,
+            rr_r.at[0], rc_r.at[0], to_r.at[0],
+            *scratch,
         )
 
-        def squeeze_kernel(ay_r, ax_r, br_r, int_r, rr_r, rc_r, ti_r,
-                           to_r, win, sem, kernel=kernel):
-            kernel(
-                ay_r, ax_r, br_r, int_r,
-                rr_r.at[0], rc_r.at[0], ti_r.at[0], to_r.at[0],
-                win, sem,
-            )
-
-        taps = pl.pallas_call(
-            squeeze_kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (n_groups, group, 8, pl8), jnp.int32
-            ),
-            input_output_aliases={6: 0},  # taps_in (after 3 prefetch scalars)
-            interpret=interpret,
-        )(ay8_p, ax128_p, br_g, integral, relr, relc, taps)
+    taps = pl.pallas_call(
+        squeeze_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups, group, 8, pl8), jnp.int32
+        ),
+        interpret=interpret,
+    )(ay8_p, ax128_p, br_g, integral, relr, relc)
 
     # (n_groups, group, 8i, pl8) -> (K, p, 6, 6) in input order.
     taps = taps.reshape(n_groups * group, 8, pl8)[:k, :6, : p * 6]

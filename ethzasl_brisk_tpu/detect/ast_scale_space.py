@@ -503,14 +503,37 @@ def is_max_2d(
       * 'cache'  — dense threshold-1 view (upper bound);
       * 'corner' — corners only (lower bound).
     """
-    center = _gather(layer.cache, ys, xs)  # candidates are corners
-    w = layer.img.shape[1]
+    # Patch-prefetch: ONE (K, 5, 5) gather per map instead of ~300
+    # separate (K,) gathers (each neighbor/raw read used to be its own
+    # gather op; gathers on this backend cost near-flat time per OP, so
+    # the op count — not the element count — was the wall; r4 probes).
+    # _gather clips per element, so patch[2+oy, 2+ox] is value-identical
+    # to _gather(map, ys+oy, xs+ox) for |ox|,|oy| <= 2.
+    h_l, w = layer.img.shape
+    d2 = jnp.arange(-2, 3)
+    yy = ys[:, None, None] + d2[None, :, None]   # (K, 5oy, 1)
+    xx = xs[:, None, None] + d2[None, None, :]   # (K, 1, 5ox)
+    p_corner = _gather(layer.corner, yy, xx)     # (K, 5, 5)
+    p_cache = _gather(layer.cache, yy, xx)
+    p_t = _gather(layer.t_star, yy, xx)
+    inb_p = (
+        (xx >= 3) & (yy >= 3) & (xx < w - 3) & (yy < h_l - 3)
+    )
+
+    center = p_cache[:, 2, 2]  # candidates are corners
     cand_rm = ys * w + xs
 
-    neigh = {
-        (dx, dy): _int_score(layer, xs + dx, ys + dy, center)
-        for dx, dy in _NEIGH8
-    }
+    def int_score(ox, oy):
+        """_int_score(layer, xs+ox, ys+oy, center) from the patches."""
+        cnr = p_corner[:, 2 + oy, 2 + ox]
+        cch = p_cache[:, 2 + oy, 2 + ox]
+        ts = p_t[:, 2 + oy, 2 + ox]
+        fresh = jnp.where(ts >= center, ts, 0)
+        return jnp.where(
+            inb_p[:, 2 + oy, 2 + ox], jnp.where(cnr, cch, fresh), 0
+        )
+
+    neigh = {(dx, dy): int_score(dx, dy) for dx, dy in _NEIGH8}
     reject = jnp.zeros_like(xs, bool)
     for v in neigh.values():
         reject |= v > center
@@ -526,22 +549,24 @@ def is_max_2d(
 
     if raw_model == "emulated" and e_query is None:
         e_query = earliest_toucher_map(layer)
+    p_early = (
+        _gather(e_query, yy, xx) if raw_model == "emulated" else None
+    )
+    p_epatch = _gather(e_patch, yy, xx) if e_patch is not None else None
+    p_prefill = (
+        _gather(prefill, yy, xx) if prefill is not None else None
+    )
 
     def raw(ox, oy):
         """Raw scores_ read at candidate offset (ox, oy), |ox|,|oy| <= 2."""
-        q_corner = _gather(layer.corner, ys + oy, xs + ox)
-        q_cache = _gather(layer.cache, ys + oy, xs + ox)
-        q_t = _gather(layer.t_star, ys + oy, xs + ox)
+        q_corner = p_corner[:, 2 + oy, 2 + ox]
+        q_cache = p_cache[:, 2 + oy, 2 + ox]
+        q_t = p_t[:, 2 + oy, 2 + ox]
         if raw_model == "corner":
             return jnp.where(q_corner, q_cache, 0)
         if raw_model == "cache":
-            h, w_ = layer.img.shape
-            inb = (
-                (xs + ox >= 3) & (ys + oy >= 3)
-                & (xs + ox < w_ - 3) & (ys + oy < h - 3)
-            )
-            return jnp.where(inb, q_cache, 0)
-        q_early = _gather(e_query, ys + oy, xs + ox)
+            return jnp.where(inb_p[:, 2 + oy, 2 + ox], q_cache, 0)
+        q_early = p_early[:, 2 + oy, 2 + ox]
         own = (
             (abs(ox) <= 1) and (abs(oy) <= 1)
         )  # static: q adjacent to the candidate itself
@@ -549,10 +574,10 @@ def is_max_2d(
         if own:
             touched_q |= center <= q_t
         thr1 = jnp.zeros_like(touched_q)
-        if e_patch is not None:
-            thr1 |= _gather(e_patch, ys + oy, xs + ox) < cand_rm
-        if prefill is not None:
-            thr1 |= _gather(prefill, ys + oy, xs + ox)
+        if p_epatch is not None:
+            thr1 |= p_epatch[:, 2 + oy, 2 + ox] < cand_rm
+        if p_prefill is not None:
+            thr1 |= p_prefill[:, 2 + oy, 2 + ox]
         val = jnp.where(
             thr1 & (q_t >= 1),
             q_t,

@@ -261,7 +261,11 @@ class DetectorConfig:
     # Candidate extraction: "sort" = lax.top_k over the full H*W map;
     # "select" = bisection threshold + prefix-compaction + k-element
     # sort (kernels/topk.py) — bit-identical, avoids the full-map sort
-    # (~30% of detect time on TPU).
+    # but is launch-latency-bound (31 sequential reduction steps);
+    # "compact" = mask-count compaction + k-element lexsort — no
+    # sequential loop at all, bit-identical to "sort" whenever the
+    # layer's maxima count fits max_candidates (the configured-capacity
+    # regime; see kernels/topk.topk_from_mask for overflow semantics).
     topk_impl: str = "sort"
     # Fuse the NMS/threshold mask into the Pallas Harris pass
     # (bit-identical; interpret-mode validated, off until measured on
@@ -447,12 +451,17 @@ def _layer_candidates(sc, mask, config):
     # topk_impl="select" replaces the full-map sort with bisection
     # threshold + prefix compaction (kernels/topk.py, bit-identical).
     masked = jnp.where(mask, sc, sentinel)
-    if config.topk_impl == "select" and not jnp.issubdtype(
-        sc.dtype, jnp.floating
-    ):
+    is_int = not jnp.issubdtype(sc.dtype, jnp.floating)
+    if config.topk_impl == "select" and is_int:
         from ethzasl_brisk_tpu.kernels.topk import topk_int32
 
         top_scores, top_idx = topk_int32(masked.reshape(-1), k)
+    elif config.topk_impl == "compact" and is_int:
+        from ethzasl_brisk_tpu.kernels.topk import topk_from_mask
+
+        top_scores, top_idx = topk_from_mask(
+            sc.reshape(-1), mask.reshape(-1), k
+        )
     else:
         top_scores, top_idx = jax.lax.top_k(masked.reshape(-1), k)
     ys = top_idx // w

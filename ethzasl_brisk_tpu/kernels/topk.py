@@ -75,3 +75,57 @@ def topk_int32(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     # lax.top_k's tie order exactly.
     order = jnp.argsort(~vals, stable=True)
     return jnp.take(vals, order), jnp.take(idx, order)
+
+
+def topk_from_mask(
+    x: jnp.ndarray, mask: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k of ``where(mask, x, INT32_MIN)`` without any full-size sort.
+
+    Bit-equal to ``jax.lax.top_k(where(mask, x, INT32_MIN), k)``
+    (values descending, ties by ascending flat index — including the
+    sentinel padding rows, which top_k fills with the lowest-index
+    unmasked positions) WHENEVER ``count(mask) <= k`` and every masked
+    value is > INT32_MIN (so masked elements are distinguishable from
+    the sentinel; the detection masks guarantee this — they imply
+    ``score >= absolute_threshold``). On overflow
+    (more masked elements than k — a capacity misconfiguration; the
+    per-layer candidate caps are sized to cover every 2D maximum) it
+    degrades to the first k masked elements in flat-index order instead
+    of the k best by score; callers that must stay exact under overflow
+    use ``topk_impl="sort"``.
+
+    Unlike the bisection select (:func:`topk_int32`) there is NO
+    sequential loop — one cumsum + two vectorized binary searches + one
+    k-element lexsort — so it vmaps over frames without convoying and
+    is not launch-latency-bound (the 31-step bisection lost end-to-end
+    for exactly that reason, NOTES round 2).
+    """
+    n = x.size
+    if k >= n:
+        return jax.lax.top_k(jnp.where(mask, x, INT32_MIN), k)
+
+    xi = jnp.where(mask, x, INT32_MIN)
+    # Positions of masked elements in index order: j-th one is the first
+    # i with cumsum(mask)[i] == j+1 (vectorized binary search on the
+    # monotone prefix count — no nonzero(), which lowers to a full sort).
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    count = csum[n - 1]
+    j = jnp.arange(1, k + 1, dtype=jnp.int32)
+    idx_m = jnp.searchsorted(csum, j, side="left").astype(jnp.int32)
+    # Padding positions: first (k - count) UNmasked indices, found the
+    # same way on the complement count (i+1) - csum[i].
+    csum_not = jnp.arange(1, n + 1, dtype=jnp.int32) - csum
+    idx_p = jnp.searchsorted(
+        csum_not, j, side="left"
+    ).astype(jnp.int32)
+    take_m = j <= count
+    idx = jnp.where(take_m, jnp.minimum(idx_m, n - 1),
+                    jnp.take(idx_p, (j - 1) - count, mode="clip"))
+    vals = jnp.take(xi, idx)
+
+    # Final order: descending value, ascending index on ties — across
+    # the masked AND padding parts jointly (a masked element can
+    # legitimately hold INT32_MIN), exactly lax.top_k's order.
+    order = jnp.lexsort((idx, ~vals))
+    return jnp.take(vals, order), jnp.take(idx, order)

@@ -223,6 +223,9 @@ class DescriptorCollection:
         self._trains.clear()
         self._valids.clear()
 
+    def __len__(self) -> int:
+        return len(self._trains)
+
     @property
     def n_images(self) -> int:
         return len(self._trains)

@@ -45,6 +45,33 @@ class VoConfig:
     ransac_hypotheses: int = 512
     min_inliers: int = 30
     refine_iterations: int = 10      # GN Sampson refinement (0 = off)
+    # Per-frame affine photometric normalization before detection:
+    # exposure drift (gain/bias) shifts Harris responses across the
+    # absolute threshold, destabilizing the detected keypoint set even
+    # though BRISK's intensity-comparison bits are order-invariant.
+    # Normalizing each frame to a fixed mean/std keeps detections
+    # consistent under drift (round-3 stress bench: ATE 1.89 vs 0.96
+    # clean without it).
+    normalize_exposure: bool = False
+    norm_target_mean: float = 128.0
+    norm_target_std: float = 48.0
+
+
+@jax.jit
+def normalize_exposure_u8(
+    img: jnp.ndarray, target_mean=128.0, target_std=48.0
+) -> jnp.ndarray:
+    """Affine-normalize a uint8/uint16 frame to a fixed mean/std (u8 out).
+
+    Inverse-gain/bias correction: order-preserving, so descriptor
+    comparison bits are unchanged up to requantization; detection
+    thresholds see a stationary intensity distribution.
+    """
+    f = img.astype(jnp.float32)
+    m = jnp.mean(f)
+    s = jnp.std(f) + 1e-6
+    out = (f - m) * (target_std / s) + target_mean
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +84,11 @@ class VoFrontend:
 
     def process_frame(self, img: jnp.ndarray):
         """One frame -> (keypoints, descriptors)."""
+        if self.config.normalize_exposure:
+            img = normalize_exposure_u8(
+                img, self.config.norm_target_mean,
+                self.config.norm_target_std,
+            )
         return self.feature.detect_and_compute(img)
 
     def relative_pose(

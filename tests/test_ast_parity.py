@@ -54,6 +54,7 @@ def _detect(detector, image):
     return fields, d
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("entry_idx", [0, 1])
 def test_ast_golden_parity(ast_golden, detector, entry_idx):
     from scipy.spatial import cKDTree
@@ -125,6 +126,7 @@ def test_match_zero_outliers(test_data_dir, detector):
     assert (err > 5.0).sum() == 0
 
 
+@pytest.mark.slow
 def test_compute_scale_passed_keypoints(img1, detector):
     """usePassedKeypoints / ComputeScale: re-detecting the detector's own
     output keypoints through the passed-keypoint path must reproduce them

@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 
 class TestSe3:
     def test_exp_log_roundtrip(self):
@@ -104,6 +106,92 @@ class TestWindowBa:
         assert rms1 < 0.02, (rms0, rms1)
         costs = np.asarray(costs)
         assert costs[-1] < costs[0] * 1e-4
+
+    def test_lm_converges_and_is_monotone(self):
+        from ethzasl_brisk_tpu.ba import (
+            robust_cost,
+            solve_window_ba_lm,
+        )
+        from ethzasl_brisk_tpu.ba.window import _residual_and_jacobians
+
+        rng = np.random.default_rng(3)
+        prob, _ = self._make_problem(0.02, 0.10, rng)
+        cost0 = float(robust_cost(prob))
+        solved, costs, lams = solve_window_ba_lm(
+            prob, iterations=14, damping=1e-3
+        )
+        costs = np.asarray(costs)
+        # Monotone non-increasing accepted cost, large total decrease.
+        assert (np.diff(np.concatenate([[cost0], costs])) <= 0).all()
+        assert costs[-1] < cost0 * 1e-4
+        res1, _, _, w1 = _residual_and_jacobians(solved)
+        rms1 = float(
+            np.sqrt(
+                (np.asarray(res1) ** 2).sum(1)[np.asarray(w1) > 0].mean()
+            )
+        )
+        assert rms1 < 0.02, rms1
+
+    def test_lm_cannot_diverge_on_degenerate_geometry(self):
+        """Planar scene, near-zero parallax: fixed-damping GN can run
+        away along the unconstrained direction; LM must reject those
+        steps and keep the objective non-increasing (round-3 VERDICT
+        item 5 — replaces the post-hoc --ba-max-shift gate)."""
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.ba import (
+            BaProblem,
+            robust_cost,
+            solve_window_ba_lm,
+        )
+
+        rng = np.random.default_rng(7)
+        k, n_lm = 6, 120
+        fu = fv = 400.0
+        cu, cv = 320.0, 240.0
+        # All landmarks on one plane z=6, camera centers almost
+        # coincident (baseline ~1e-4: no parallax).
+        pts_gt = np.concatenate(
+            [rng.uniform(-3, 3, (n_lm, 2)), np.full((n_lm, 1), 6.0)], 1
+        )
+        t_cam = np.zeros((k, 3))
+        t_cam[:, 0] = -np.linspace(0, 1e-4, k)
+        kf = np.repeat(np.arange(k), n_lm)
+        lm = np.tile(np.arange(n_lm), k)
+        x_c = pts_gt[lm] + t_cam[kf]
+        uv = np.stack(
+            [fu * x_c[:, 0] / x_c[:, 2] + cu,
+             fv * x_c[:, 1] / x_c[:, 2] + cv], 1
+        ) + rng.normal(0, 0.3, (len(kf), 2))
+        f32 = jnp.float32
+        prob = BaProblem(
+            r=jnp.asarray(np.broadcast_to(np.eye(3), (k, 3, 3)), f32),
+            t=jnp.asarray(t_cam + rng.normal(0, 0.02, (k, 3)), f32),
+            points=jnp.asarray(
+                pts_gt + rng.normal(0, 0.2, (n_lm, 3)), f32
+            ),
+            kf_idx=jnp.asarray(kf, jnp.int32),
+            lm_idx=jnp.asarray(lm, jnp.int32),
+            uv=jnp.asarray(uv, f32),
+            valid=jnp.ones((len(kf),), bool),
+            fu=f32(fu), fv=f32(fv), cu=f32(cu), cv=f32(cv),
+        )
+        cost0 = float(robust_cost(prob, 3.0))
+        solved, costs, _ = solve_window_ba_lm(
+            prob, iterations=12, damping=1e-2, fix_poses=2,
+            huber_delta=3.0,
+        )
+        costs = np.asarray(costs)
+        assert np.isfinite(costs).all()
+        assert (np.diff(np.concatenate([[cost0], costs])) <= 1e-3).all()
+        # No runaway: camera centers stay bounded (the gate this
+        # replaces fired on 10^6x explosions).
+        c_new = np.einsum(
+            "kij,kj->ki",
+            -np.asarray(solved.r).transpose(0, 2, 1),
+            np.asarray(solved.t),
+        )
+        assert np.abs(c_new).max() < 1.0, np.abs(c_new).max()
 
 
 class TestDistributedBa:

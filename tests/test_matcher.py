@@ -7,6 +7,9 @@ rounds, scan train images in add() order, rows in order, keep the first
 strict minimum (minMaxLoc semantics), emit, invalidate.
 """
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
 
 RNG = np.random.default_rng(7)
 

@@ -45,6 +45,7 @@ def _assert_kps_equal(a, b):
         assert np.array_equal(fa, fb), f"field {f}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("uradius", [0.0, 30.0])
 def test_tiled_equals_dense(uradius):
     mesh = _mesh(8)
@@ -66,6 +67,7 @@ def test_tiled_equals_dense(uradius):
     assert int(np.asarray(dense.valid).sum()) > 100
 
 
+@pytest.mark.slow
 def test_tiled_four_devices():
     mesh = _mesh(4)
     img = jnp.asarray(_smooth_frame(240, 400, 9))

@@ -9,7 +9,13 @@ from ethzasl_brisk_tpu.detect.scale_space import (  # noqa: E402
     DetectorConfig,
     detect_keypoints,
 )
-from ethzasl_brisk_tpu.kernels.topk import INT32_MIN, topk_int32  # noqa: E402
+from ethzasl_brisk_tpu.kernels.topk import (  # noqa: E402
+    INT32_MIN,
+    topk_from_mask,
+    topk_int32,
+)
+
+pytestmark = pytest.mark.quick
 
 
 @pytest.mark.parametrize("kind", ["uniform", "ties", "sparse", "const"])
@@ -34,6 +40,83 @@ def test_topk_matches_lax(kind):
     tv, ti = jax.jit(lambda a: topk_int32(a, k))(xv)
     np.testing.assert_array_equal(np.asarray(rv), np.asarray(tv))
     np.testing.assert_array_equal(np.asarray(ri), np.asarray(ti))
+
+
+@pytest.mark.parametrize(
+    "density,kind",
+    [(0.005, "values"), (0.019, "values"), (0.01, "ties"),
+     (0.01, "min_vals"), (0.0, "empty")],
+)
+def test_topk_from_mask_matches_lax(density, kind):
+    """Bit-equal to lax.top_k(where(mask, x, MIN), k) when count <= k —
+    including tie order and the sentinel padding rows."""
+    rng = np.random.default_rng(int(density * 1e4) + len(kind))
+    n, k = 200_000, 4096
+    mask = rng.random(n) < density
+    assert mask.sum() <= k
+    if kind == "ties":
+        x = rng.integers(-3, 3, n).astype(np.int32)
+    elif kind == "min_vals":
+        # Masked values at the extreme negative end (but > INT32_MIN:
+        # equality with the sentinel is a documented precondition —
+        # detection masks imply score >= threshold).
+        x = rng.integers(-100, 100, n).astype(np.int32)
+        x[mask] = np.where(
+            rng.random(mask.sum()) < 0.3, INT32_MIN + 1, x[mask]
+        )
+    else:
+        x = rng.integers(-2**31, 2**31 - 1, n, dtype=np.int64).astype(
+            np.int32
+        )
+    xv, mv = jnp.asarray(x), jnp.asarray(mask)
+    rv, ri = jax.lax.top_k(jnp.where(mv, xv, INT32_MIN), k)
+    tv, ti = jax.jit(lambda a, m: topk_from_mask(a, m, k))(xv, mv)
+    np.testing.assert_array_equal(np.asarray(rv), np.asarray(tv))
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(ti))
+
+
+def test_topk_from_mask_overflow_semantics():
+    """count > k: first k masked positions in index order, sorted by
+    descending score (documented capacity-overflow degradation)."""
+    rng = np.random.default_rng(5)
+    n, k = 50_000, 512
+    mask = rng.random(n) < 0.05
+    assert mask.sum() > k
+    x = rng.integers(0, 10_000, n).astype(np.int32)
+    tv, ti = jax.jit(
+        lambda a, m: topk_from_mask(a, m, k)
+    )(jnp.asarray(x), jnp.asarray(mask))
+    first_k = np.flatnonzero(mask)[:k]
+    assert set(np.asarray(ti).tolist()) == set(first_k.tolist())
+    got_v = np.asarray(tv)
+    assert (np.diff(got_v) <= 0).all()
+    np.testing.assert_array_equal(np.sort(got_v)[::-1], np.sort(x[first_k])[::-1])
+
+
+def test_detect_with_compact_topk_bitwise():
+    from scipy import ndimage
+
+    rng = np.random.default_rng(12)
+    base = rng.integers(0, 256, (240, 320)).astype(np.float32)
+    sm = ndimage.convolve(base, np.ones((5, 5)) / 25.0, mode="nearest")
+    img = jnp.asarray(np.clip(sm, 0, 255).astype(np.uint8))
+    # max_candidates must cover every maximum (4050 on layer 0 of this
+    # image) — the regime "compact" is exact in; under capacity
+    # overflow it degrades differently from "sort" (documented).
+    cfgs = [
+        DetectorConfig(
+            octaves=2, uniformity_radius=30.0, absolute_threshold=20.0,
+            max_candidates=8192, max_keypoints=512, max_num_kpt=512,
+            topk_impl=impl,
+        )
+        for impl in ("sort", "compact")
+    ]
+    a = jax.jit(lambda im: detect_keypoints(im, cfgs[0]))(img)
+    b = jax.jit(lambda im: detect_keypoints(im, cfgs[1]))(img)
+    for f in ("x", "y", "size", "response", "octave", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
 
 
 def test_detect_with_select_topk_bitwise():

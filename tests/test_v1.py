@@ -64,6 +64,7 @@ def test_v1_supersets_v2_accepts(image, v1_kps):
     )
 
 
+@pytest.mark.slow
 def test_v1_facade_end_to_end(image):
     det = BriskFeatureDetector(threshold=70, octaves=3, version="v1")
     kps, desc = det.detect_and_compute(image)

@@ -13,11 +13,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(
-    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path[:0] = [_ROOT, os.path.join(_ROOT, 'tools'), os.path.dirname(os.path.abspath(__file__))]
 
-from tools.probe_topk2 import timed  # noqa: E402
+from probe_topk2 import timed  # noqa: E402
 from tools.profile_stages import make_frames  # noqa: E402
 
 

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 import sys, os  # noqa: E401
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path[:0] = [_ROOT, os.path.join(_ROOT, 'tools')]
 
 from ethzasl_brisk_tpu.core.pattern import brisk_v2_pattern  # noqa: E402
 from ethzasl_brisk_tpu.describe.extractor import (  # noqa: E402

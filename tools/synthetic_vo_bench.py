@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--stress", action="store_true",
                     help="exposure drift + moving occluder")
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu"])
+    ap.add_argument("--normalize-exposure", action="store_true",
+                    help="per-frame photometric normalization before "
+                         "detection (VoConfig.normalize_exposure)")
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--export", default=None,
                     help="write frames as PGM + KITTI poses.txt to DIR "
@@ -128,7 +131,10 @@ def main():
         octaves=2, uniformity_radius=0.0, absolute_threshold=30.0,
         max_candidates=1024, max_keypoints=1024,
     )
-    vo = VoFrontend(camera=cam, feature=feature, config=VoConfig())
+    vo = VoFrontend(
+        camera=cam, feature=feature,
+        config=VoConfig(normalize_exposure=args.normalize_exposure),
+    )
     est = vo.run_sequence(frames)
     est_pos = np.stack([p[:3, 3] for p in est])
 
