@@ -304,18 +304,45 @@ def solve_window_ba_trimmed(
     )
     res, _, _, w = _residual_and_jacobians(stage1)
     rnorm = jnp.sqrt(jnp.sum(res * res, -1) + 1e-12)
-    # Median over the VALID observations (invalid sorted to +inf).
     big = jnp.float32(1e30)
-    rv = jnp.where(w > 0, rnorm, big)
-    n_valid = jnp.sum(w > 0).astype(jnp.int32)
-    sorted_r = jnp.sort(rv)
-    med = sorted_r[jnp.clip(n_valid // 2, 0, rv.shape[0] - 1)]
-    thr = trim_sigma * jnp.maximum(med, 1.0)
-    keep = problem.valid & (rnorm <= thr)
+
+    # TRACK-level statistic: a landmark on a moving object becomes a
+    # phantom point — stage 1 absorbs the mean motion into its
+    # position, leaving each of its observations a moderate residual
+    # (the per-pose deviation). Per-observation trimming misses most
+    # of them; the landmark's MEAN residual separates cleanly.
+    n_lm = problem.points.shape[0]
+    lm_sum = jax.ops.segment_sum(rnorm * w, problem.lm_idx, n_lm)
+    lm_cnt = jax.ops.segment_sum(w, problem.lm_idx, n_lm)
+    lm_mean = lm_sum / jnp.maximum(lm_cnt, 1.0)
+    observed = lm_cnt > 0
+
+    def med_of(vals, mask):
+        v = jnp.where(mask, vals, big)
+        n = jnp.sum(mask).astype(jnp.int32)
+        return jnp.sort(v)[jnp.clip(n // 2, 0, v.shape[0] - 1)]
+
+    def mad_thr(vals, mask, floor):
+        """median + trim_sigma * 1.4826 * MAD (floored) — a robust
+        z-score cut; a multiplicative cut (sigma * median) fails when
+        the inlier distribution is narrow relative to its median."""
+        med = med_of(vals, mask)
+        mad = med_of(jnp.abs(vals - med), mask)
+        return med + jnp.maximum(trim_sigma * 1.4826 * mad, floor)
+
+    lm_keep = lm_mean <= mad_thr(lm_mean, observed, 0.5)
+
+    # Plus a per-observation guard for isolated gross outliers.
+    obs_keep = rnorm <= mad_thr(rnorm, w > 0, 1.0)
+
+    keep = problem.valid & lm_keep[problem.lm_idx] & obs_keep
     n_trimmed = jnp.sum(problem.valid) - jnp.sum(keep)
+    # Re-solve from the ORIGINAL iterate (the stage-1 solution is
+    # biased by the very observations just removed) with the full
+    # iteration budget — LM iterations are cheap next to the bias.
     trimmed = dataclasses.replace(problem, valid=keep)
     solved, costs, _ = solve_window_ba_lm(
-        trimmed, iterations=iterations - half, damping=damping,
+        trimmed, iterations=iterations, damping=damping,
         fix_poses=fix_poses, huber_delta=huber_delta,
     )
     return solved, costs, n_trimmed

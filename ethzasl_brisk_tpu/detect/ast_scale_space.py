@@ -386,24 +386,31 @@ def _cache_score(layer: AstLayerMaps, xs, ys):
     return jnp.where(inb, _gather(layer.cache, ys, xs), 0)
 
 
-def _bilinear_score(layer: AstLayerMaps, xf, yf):
+def _bilinear_from(score_fn, xf, yf):
     """GetAgastScore(float xf, float yf, 1, scale=1) (brisk-layer.cc:179-...):
-    f32 bilinear of the 4 int scores, truncated to uint8."""
+    f32 bilinear of the 4 int scores from ``score_fn(x, y)``, truncated
+    to uint8."""
     x = _trunc_i32(xf)
     y = _trunc_i32(yf)
     rx1 = xf - x.astype(f32)
     rx = f32(1.0) - rx1
     ry1 = yf - y.astype(f32)
     ry = f32(1.0) - ry1
-    v00 = _cache_score(layer, x, y).astype(f32)
-    v10 = _cache_score(layer, x + 1, y).astype(f32)
-    v01 = _cache_score(layer, x, y + 1).astype(f32)
-    v11 = _cache_score(layer, x + 1, y + 1).astype(f32)
+    v00 = score_fn(x, y).astype(f32)
+    v10 = score_fn(x + 1, y).astype(f32)
+    v01 = score_fn(x, y + 1).astype(f32)
+    v11 = score_fn(x + 1, y + 1).astype(f32)
     out = (
         _fmul(_fmul(rx, ry), v00) + _fmul(_fmul(rx1, ry), v10)
         + _fmul(_fmul(rx, ry1), v01) + _fmul(_fmul(rx1, ry1), v11)
     )
     return _trunc_i32(out).astype(f32)  # uint8 truncation (values <= 255)
+
+
+def _bilinear_score(layer: AstLayerMaps, xf, yf):
+    return _bilinear_from(
+        lambda x, y: _cache_score(layer, x, y), xf, yf
+    )
 
 
 def _agast58_score(layer_t58: jnp.ndarray, xs, ys):
@@ -670,6 +677,42 @@ def _score_patch_max(
     iy_first = _trunc_i32(y_1 + 1)
     iy_last = _trunc_i32(y1)
 
+    # Prefetch: every read this scan makes (int probes, bilinear taps of
+    # the float probes, the tie-break 3x3 sums, the final Subpixel 3x3)
+    # lies inside a 7x7 window anchored 2 below (iy_first, ix_first):
+    # trunc(x_1) >= ix_first-1, taps reach trunc(x1)+1 <= ix_first+n_int
+    # +1, tie/patch reads stay within +-1 of scan positions. ONE (K,7,7)
+    # gather replaces the ~50-90 per-probe gathers this function used to
+    # issue (gathers on the TPU backend cost near-flat time per OP —
+    # r4 probes). _cache_score's [3, n-4) zero-border is baked into the
+    # window, so picks are value-identical.
+    x0 = ix_first - 2
+    y0 = iy_first - 2
+    d7 = jnp.arange(7)
+    yy7 = y0[:, None, None] + d7[None, :, None]
+    xx7 = x0[:, None, None] + d7[None, None, :]
+    h_n, w_n = neighbor.img.shape
+    win = jnp.where(
+        (xx7 >= 3) & (yy7 >= 3) & (xx7 < w_n - 3) & (yy7 < h_n - 3),
+        _gather(neighbor.cache, yy7, xx7),
+        0,
+    ).astype(jnp.int32)
+    win49 = win.reshape(win.shape[0], 49)
+    iota49 = jnp.arange(49, dtype=jnp.int32)
+
+    def cache_pick(ax, ay):
+        """_cache_score(neighbor, ax, ay) from the prefetched window.
+
+        ax/ay: (K,) or (K, ...) absolute coords inside the window."""
+        extra = ax.ndim - 1
+        x0e = x0.reshape(x0.shape + (1,) * extra)
+        y0e = y0.reshape(y0.shape + (1,) * extra)
+        idx = (ay - y0e) * 7 + (ax - x0e)
+        w49 = win49.reshape(win49.shape[:1] + (1,) * extra + (49,))
+        return jnp.sum(
+            jnp.where(idx[..., None] == iota49, w49, 0), axis=-1
+        )
+
     # Column specs: (kind, coord_f32_or_int, exists)
     cols = [("f", x_1, None)]
     for k in range(n_int):
@@ -685,10 +728,10 @@ def _score_patch_max(
 
     def probe(ckind, cval, rkind, rval):
         if ckind == "i" and rkind == "i":
-            return _cache_score(neighbor, cval, rval).astype(f32)
+            return cache_pick(cval, rval).astype(f32)
         xf = cval.astype(f32) if ckind == "i" else cval
         yf = rval.astype(f32) if rkind == "i" else rval
-        return _bilinear_score(neighbor, xf, yf)
+        return _bilinear_from(cache_pick, xf, yf)
 
     k = xs.shape[0]
     exceeded = jnp.zeros((k,), bool)
@@ -726,15 +769,15 @@ def _score_patch_max(
                 def sm(ax, ay):
                     return (
                         2 * (
-                            _cache_score(neighbor, ax - 1, ay)
-                            + _cache_score(neighbor, ax + 1, ay)
-                            + _cache_score(neighbor, ax, ay + 1)
-                            + _cache_score(neighbor, ax, ay - 1)
+                            cache_pick(ax - 1, ay)
+                            + cache_pick(ax + 1, ay)
+                            + cache_pick(ax, ay + 1)
+                            + cache_pick(ax, ay - 1)
                         )
-                        + _cache_score(neighbor, ax + 1, ay + 1)
-                        + _cache_score(neighbor, ax - 1, ay + 1)
-                        + _cache_score(neighbor, ax + 1, ay - 1)
-                        + _cache_score(neighbor, ax - 1, ay - 1)
+                        + cache_pick(ax + 1, ay + 1)
+                        + cache_pick(ax - 1, ay + 1)
+                        + cache_pick(ax + 1, ay - 1)
+                        + cache_pick(ax - 1, ay - 1)
                     )
 
                 tie = exists & (v == best)
@@ -748,10 +791,9 @@ def _score_patch_max(
             mx = jnp.where(upd, px, mx)
             my = jnp.where(upd, py, my)
 
-    # Subpixel on the 3x3 around (mx, my).
-    patch = _patch33(
-        lambda xg, yg: _cache_score(neighbor, xg, yg), mx, my
-    )
+    # Subpixel on the 3x3 around (mx, my) — picks from the prefetched
+    # window ((mx, my) is a scan position, so the +-1 reads stay inside).
+    patch = _patch33(cache_pick, mx, my)
     dx1, dy1, refined = ast_subpixel2d(patch)
     real_x = mx.astype(f32) + dx1
     real_y = my.astype(f32) + dy1

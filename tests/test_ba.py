@@ -193,6 +193,79 @@ class TestWindowBa:
         )
         assert np.abs(c_new).max() < 1.0, np.abs(c_new).max()
 
+    def test_trimmed_rejects_coherent_outliers(self):
+        """A coherent outlier population (tracks on a moving object)
+        biases Huber-only LM — the bounded influence never reaches
+        zero. The trimmed solver drops them after stage 1 and recovers
+        poses closer to ground truth."""
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.ba import (
+            solve_window_ba_lm,
+            solve_window_ba_trimmed,
+        )
+
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(9)
+        prob, (r_gt, t_gt, _) = self._make_problem(0.01, 0.05, rng)
+        # fix_poses=2 anchors the gauge on poses 0 and 1 — give the
+        # anchor its TRUE value so the ground-truth comparison below
+        # is not polluted by frozen init noise.
+        r0 = np.array(prob.r)
+        t0 = np.array(prob.t)
+        r0[1] = r_gt[1]
+        t0[1] = t_gt[1]
+        prob = dc.replace(
+            prob, r=jnp.asarray(r0, jnp.float32),
+            t=jnp.asarray(t0, jnp.float32),
+        )
+        # 12% of landmarks sit on a MOVING object: their observations
+        # shift by a per-pose amount (no single 3D point explains them
+        # — a constant shift would just relocate the landmark and be
+        # absorbed residual-free).
+        n_lm = 200
+        bad_lm = rng.choice(n_lm, 24, replace=False)
+        bad_obs = np.isin(np.asarray(prob.lm_idx), bad_lm)
+        uv = np.array(prob.uv)
+        kf_np = np.asarray(prob.kf_idx)
+        uv[bad_obs] += np.stack(
+            [8.0 * kf_np[bad_obs], 3.0 * kf_np[bad_obs]], 1
+        )
+        import dataclasses as dc
+
+        prob = dc.replace(prob, uv=jnp.asarray(uv, jnp.float32))
+
+        # fix_poses=2 anchors the monocular scale gauge (as the
+        # kitti_eval harness does) — absolute t errors are otherwise
+        # not gauge-invariant.
+        lm_sol, _, _ = solve_window_ba_lm(
+            prob, iterations=12, damping=1e-3, huber_delta=3.0,
+            fix_poses=2,
+        )
+        tr_sol, _, n_trim = solve_window_ba_trimmed(
+            prob, iterations=12, damping=1e-3, huber_delta=3.0,
+            fix_poses=2,
+        )
+        # Stage-1 absorbs the mean object motion into the phantom
+        # landmark; the trim catches the per-pose deviations around it.
+        assert int(n_trim) >= 20, int(n_trim)
+
+        def pose_err(sol):
+            return float(
+                np.linalg.norm(np.asarray(sol.t) - t_gt, axis=1).max()
+            )
+
+        # Trimmed recovers a clearly better solution (0.076 vs 0.142
+        # at pin time); some bias remains — the trim re-solve still
+        # sees a few absorbed observations — so the bounds are loose.
+        assert pose_err(tr_sol) < 0.75 * pose_err(lm_sol), (
+            pose_err(tr_sol), pose_err(lm_sol)
+        )
+        assert pose_err(tr_sol) < 0.1, pose_err(tr_sol)
+
 
 class TestDistributedBa:
     def test_sharded_matches_single(self):
