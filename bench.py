@@ -405,9 +405,12 @@ def main_ast(batch: int, iters: int) -> None:
     mesh = make_mesh(1, 1)
     pipe = AstFramePipeline(
         detector=detector, mesh=mesh,
-        # patch_ms: measured faster than patch_pallas at the AST octave-3
-        # window sizes (4.7 vs 2.1 fps — AstFramePipeline default).
-        sampler=os.environ.get("BENCH_SAMPLER", "patch_ms"),
+        # r4: single-call pallas + valid compaction wins at AST sizes
+        # (65.4 vs 119.6 ms/batch16 describe — profile_ast2).
+        sampler=os.environ.get("BENCH_SAMPLER", "patch_pallas"),
+        describe_capacity=int(
+            os.environ.get("BENCH_DESCRIBE_CAP", "640")
+        ),
     )
     frames = jnp.asarray(bench_frames(batch))
 

@@ -131,37 +131,45 @@ class AstFramePipeline:
 
     detector: "object"  # pipeline.BriskFeatureDetector (frozen, hashable)
     mesh: Mesh
-    # patch_ms measured faster than patch_pallas at the AST shapes
-    # (4.7 vs 2.1 fps — the 264x384 windows thrash the pallas kernel's
-    # VMEM double buffers at octaves=3 sizes).
-    sampler: str = "patch_ms"
+    # r4: the single-call Pallas kernel WINS at AST window sizes with
+    # valid compaction (65.4 vs 119.6 ms/batch16 — profile_ast2; the
+    # r3 "patch_ms wins" result was the bucket-chained kernel paying a
+    # full taps copy per bucket). Falls back to patch_ms off-TPU.
+    sampler: str = "patch_pallas"
     patch_h: int = 256
     patch_w: int = 256
+    # Valid-compaction describe budget per frame (0 = describe every
+    # slot). Sampler cost is per-SLOT; AST bench frames fill ~400-500
+    # of 1024 slots.
+    describe_capacity: int = 640
 
     def step(self, frames: jnp.ndarray):
         return _ast_pipeline_step(
             self.detector.extractor.pattern, frames, self.detector,
             self.mesh, self.sampler, self.patch_h, self.patch_w,
+            self.describe_capacity,
         )
 
 
 @partial(
     jax.jit,
-    static_argnames=("detector", "mesh", "sampler", "patch_h", "patch_w"),
+    static_argnames=("detector", "mesh", "sampler", "patch_h", "patch_w",
+                     "describe_capacity"),
 )
 def _ast_pipeline_step(
-    pattern, frames, detector, mesh: Mesh, sampler, patch_h, patch_w
+    pattern, frames, detector, mesh: Mesh, sampler, patch_h, patch_w,
+    describe_capacity=0,
 ):
     from ethzasl_brisk_tpu.describe.extractor import (
         extract_descriptors_batch,
+        extract_descriptors_compact,
     )
 
     frames = jax.lax.with_sharding_constraint(
         frames, NamedSharding(mesh, P("data", None, None))
     )
     det = jax.vmap(detector.detect)(frames)
-    kps, desc = extract_descriptors_batch(
-        pattern, frames, det,
+    kw = dict(
         rotation_invariant=detector.rotation_invariant,
         scale_invariant=detector.scale_invariant,
         sampler=sampler,
@@ -169,6 +177,13 @@ def _ast_pipeline_step(
         patch_w=patch_w,
         skip_small=detector.extractor.skip_small,
     )
+    if describe_capacity:
+        kps, desc = extract_descriptors_compact(
+            pattern, frames, det,
+            capacity=describe_capacity * frames.shape[0], **kw
+        )
+    else:
+        kps, desc = extract_descriptors_batch(pattern, frames, det, **kw)
     desc = jax.lax.with_sharding_constraint(
         desc, NamedSharding(mesh, P("data", None, None))
     )

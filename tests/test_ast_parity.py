@@ -166,3 +166,47 @@ def test_compute_scale_passed_keypoints(img1, detector):
     assert ok.mean() > 0.8, ok.mean()
     # Output count is >= input (multi-layer outputs possible).
     assert ov.sum() >= 0.6 * n_in
+
+
+def test_ast_pipeline_compact_describe_matches_batch():
+    """AstFramePipeline valid-compacted describe == whole-slot describe
+    on valid keypoints (descriptors and keypoint fields)."""
+    import jax
+    import jax.numpy as jnp
+    from scipy import ndimage
+
+    from ethzasl_brisk_tpu.parallel import make_mesh
+    from ethzasl_brisk_tpu.parallel.frames import AstFramePipeline
+    from ethzasl_brisk_tpu.pipeline import BriskFeatureDetector
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (2, 160, 212)).astype(np.float32)
+    frames = jnp.asarray(
+        np.clip(
+            ndimage.convolve(base, np.ones((1, 3, 3)) / 9.0,
+                             mode="nearest"), 0, 255
+        ).astype(np.uint8)
+    )
+    det = BriskFeatureDetector(
+        threshold=40, octaves=2, max_candidates_per_layer=512,
+        raw_cache_model="emulated",
+    )
+    mesh = make_mesh(1, 1)
+    a = AstFramePipeline(detector=det, mesh=mesh, patch_h=128,
+                         patch_w=128, describe_capacity=0)
+    b = AstFramePipeline(detector=det, mesh=mesh, patch_h=128,
+                         patch_w=128, describe_capacity=1024)
+    with mesh:
+        kps_a, desc_a, _, _ = a.step(frames)
+        kps_b, desc_b, _, _ = b.step(frames)
+    va = np.asarray(kps_a.valid)
+    vb = np.asarray(kps_b.valid)
+    np.testing.assert_array_equal(va, vb)
+    np.testing.assert_array_equal(
+        np.asarray(desc_a)[va], np.asarray(desc_b)[vb]
+    )
+    for f in ("x", "y", "size", "angle", "response"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kps_a, f))[va],
+            np.asarray(getattr(kps_b, f))[vb], err_msg=f,
+        )

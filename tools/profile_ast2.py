@@ -68,8 +68,12 @@ def main():
             lambda f, k: extract_descriptors_batch(pat, f, k, **kw)
         )
 
-    timed("describe patch_pallas batch", ext("patch_pallas", False),
-          frames, kps, iters=3)
+    # NOTE the AST detector's KeyPoints capacity is n_layers *
+    # max_candidates_per_layer = 12288 SLOTS/frame (~450-500 valid):
+    # whole-slot describe pays 196k slots at batch 16 — the 2321 ms
+    # measured by profile_ast was slot-count overhead, and the Pallas
+    # sampler's per-keypoint prefetch scalars overflow SMEM at that
+    # count. Valid compaction is mandatory here, not an optimization.
     timed("describe patch_ms compact640", ext("patch_ms", True),
           frames, kps, iters=3)
     timed("describe patch_pallas compact640", ext("patch_pallas", True),
