@@ -394,12 +394,20 @@ def main_ast(batch: int, iters: int) -> None:
     from ethzasl_brisk_tpu.parallel.frames import AstFramePipeline
     from ethzasl_brisk_tpu.pipeline import BriskFeatureDetector
 
+    # Per-layer candidate caps: detect cost scales ~linearly with the
+    # slot total (probe_ast_caps r4: 2048/layer = 1389 ms/b16, 512 =
+    # 443). Bench-frame corner counts at thr=70 are (346, 276, 231,
+    # 110, 65, 30) max — these caps keep ~3x headroom per layer.
+    # BENCH_AST_CANDS accepts an int or a comma list.
+    cands_env = os.environ.get("BENCH_AST_CANDS", "1024,768,640,384,256,128")
+    cands = (
+        tuple(int(c) for c in cands_env.split(","))
+        if "," in cands_env else int(cands_env)
+    )
     detector = BriskFeatureDetector(
         threshold=int(os.environ.get("BENCH_AST_THRESHOLD", "70")),
         octaves=int(os.environ.get("BENCH_AST_OCTAVES", "3")),
-        max_candidates_per_layer=int(
-            os.environ.get("BENCH_AST_CANDS", "2048")
-        ),
+        max_candidates_per_layer=cands,
         raw_cache_model="emulated",
     )
     mesh = make_mesh(1, 1)

@@ -1136,7 +1136,7 @@ def detect_ast_keypoints(
     img: jnp.ndarray,
     threshold: int = 70,
     octaves: int = 3,
-    max_candidates_per_layer: int = 2048,
+    max_candidates_per_layer: "int | tuple" = 2048,
     raw_cache_model: str = "emulated",
     suppress_scale_nonmaxima: bool = True,
     passed_keypoints: KeyPoints | None = None,
@@ -1144,6 +1144,13 @@ def detect_ast_keypoints(
     v1: bool = False,
 ) -> KeyPoints:
     """Dense BRISK-AST detection. Returns fixed-capacity KeyPoints.
+
+    ``max_candidates_per_layer`` may be a per-layer tuple: per-
+    candidate cost scales ~linearly with the slot total (measured
+    3.1x from 2048 -> 512 per layer, probe_ast_caps r4) and corner
+    counts fall steeply up the pyramid, so sized-down upper layers buy
+    most of that without risking overflow (which silently truncates —
+    keep >= 2-3x headroom over the expected per-layer corner counts).
 
     Two passes: pass 1 estimates per-layer decisions with query-only
     cache emulation; pass 2 re-runs with the patch/cross-layer cache-fill
@@ -1181,14 +1188,20 @@ def detect_ast_keypoints(
             )
             cand.append((_trunc_i32(lx), _trunc_i32(ly), ok))
     else:
-        for layer in layers:
+        caps = (
+            max_candidates_per_layer
+            if isinstance(max_candidates_per_layer, tuple)
+            else (max_candidates_per_layer,) * n_layers
+        )
+        assert len(caps) >= n_layers, (caps, n_layers)
+        for layer, cap in zip(layers, caps):
             ys, xs = jnp.nonzero(
-                layer.corner, size=max_candidates_per_layer, fill_value=0
+                layer.corner, size=cap, fill_value=0
             )
             xs = xs.astype(jnp.int32)
             ys = ys.astype(jnp.int32)
             valid = (
-                jnp.arange(max_candidates_per_layer)
+                jnp.arange(cap)
                 < jnp.sum(layer.corner.astype(jnp.int32))
             )
             cand.append((xs, ys, valid))

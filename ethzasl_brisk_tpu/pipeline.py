@@ -155,7 +155,9 @@ class BriskFeatureDetector:
     rotation_invariant: bool = True
     scale_invariant: bool = True
     version: str = "v2"
-    max_candidates_per_layer: int = 2048
+    # int, or a per-layer tuple (detect cost scales with the
+    # slot total; see detect_ast_keypoints docs).
+    max_candidates_per_layer: "int | tuple" = 2048
     # Lazy-score-cache model for the IsMax2D tie path
     # (brisk-scale-space.cc:482-530): "emulated" (vectorized two-pass
     # approximation), "exact" (sequential fori_loop emulation,

@@ -210,3 +210,44 @@ def test_ast_pipeline_compact_describe_matches_batch():
             np.asarray(getattr(kps_a, f))[va],
             np.asarray(getattr(kps_b, f))[vb], err_msg=f,
         )
+
+
+def test_ast_per_layer_candidate_caps_bitwise():
+    """Per-layer candidate capacities == uniform capacity when both
+    cover every corner (valid keypoints bitwise equal)."""
+    import jax.numpy as jnp
+    from scipy import ndimage
+
+    from ethzasl_brisk_tpu.pipeline import BriskFeatureDetector
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 256, (160, 212)).astype(np.float32)
+    img = jnp.asarray(
+        np.clip(
+            ndimage.convolve(base, np.ones((3, 3)) / 9.0,
+                             mode="nearest"), 0, 255
+        ).astype(np.uint8)
+    )
+    # Corner counts on this image: (1667, 507, 203, 50) — both
+    # configurations must COVER them (overflow truncates silently).
+    a = BriskFeatureDetector(
+        threshold=40, octaves=2, max_candidates_per_layer=2048,
+        raw_cache_model="emulated",
+    )
+    b = BriskFeatureDetector(
+        threshold=40, octaves=2,
+        max_candidates_per_layer=(2048, 768, 384, 128),
+        raw_cache_model="emulated",
+    )
+    ka = a.detect(img)
+    kb = b.detect(img)
+    va = np.asarray(ka.valid)
+    vb = np.asarray(kb.valid)
+    assert va.sum() == vb.sum()
+    order_a = np.lexsort((np.asarray(ka.x)[va], np.asarray(ka.y)[va]))
+    order_b = np.lexsort((np.asarray(kb.x)[vb], np.asarray(kb.y)[vb]))
+    for f in ("x", "y", "size", "response"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ka, f))[va][order_a],
+            np.asarray(getattr(kb, f))[vb][order_b], err_msg=f,
+        )
