@@ -67,11 +67,20 @@ def main() -> None:
     if os.environ.get("BENCH_PIPELINE", "harris") == "ast":
         return main_ast(batch, iters)
 
+    # Per-layer candidate caps: per-candidate cost (uniformity, refine,
+    # top_k's k) scales with the slot total, and bench-frame maxima at
+    # thr=20 are (~6.8k, 2.6k, 1.6k, 0.8k) per layer. BENCH_CANDS
+    # accepts an int or a comma list.
+    cands_env = os.environ.get("BENCH_CANDS", "8192,4096,2048,1024")
+    cands = (
+        tuple(int(c) for c in cands_env.split(","))
+        if "," in cands_env else int(cands_env)
+    )
     feature = BriskFeature(
         octaves=int(os.environ.get("BENCH_OCTAVES", "2")),
         uniformity_radius=float(os.environ.get("BENCH_URADIUS", "30")),
         absolute_threshold=float(os.environ.get("BENCH_THRESHOLD", "20")),
-        max_candidates=int(os.environ.get("BENCH_CANDS", "8192")),
+        max_candidates=cands,
         max_keypoints=int(os.environ.get("BENCH_KPTS", "1024")),
         # MXU one-hot patch contraction: bit-identical to the gather
         # sampler (tests/test_fast_sampler.py) and ~5x faster at bench
@@ -271,21 +280,39 @@ def main() -> None:
         peaks = rl.measure_peaks()
         print(
             f"peaks: {peaks['peak_gflops']:.1f} GFLOP/s f32, "
+            f"{peaks['peak_gflops_bf16']:.1f} bf16, "
             f"{peaks['peak_gbs']:.2f} GB/s",
             file=sys.stderr,
         )
         det_fn = jax.jit(jax.vmap(feature.detect))
         pat = feature.extractor.pattern
-        ext_fn = jax.jit(
-            lambda p, f, k: _edb(
-                p, f, k,
-                rotation_invariant=feature.rotation_invariant,
-                scale_invariant=feature.scale_invariant,
-                sampler=feature.sampler,
-                patch_h=feature.patch_h,
-                patch_w=feature.patch_w,
+        if feature.describe_capacity:
+            from ethzasl_brisk_tpu.describe.extractor import (
+                extract_descriptors_compact as _edc,
             )
-        )
+
+            ext_fn = jax.jit(
+                lambda p, f, k: _edc(
+                    p, f, k,
+                    capacity=feature.describe_capacity * f.shape[0],
+                    rotation_invariant=feature.rotation_invariant,
+                    scale_invariant=feature.scale_invariant,
+                    sampler=feature.sampler,
+                    patch_h=feature.patch_h,
+                    patch_w=feature.patch_w,
+                )
+            )
+        else:
+            ext_fn = jax.jit(
+                lambda p, f, k: _edb(
+                    p, f, k,
+                    rotation_invariant=feature.rotation_invariant,
+                    scale_invariant=feature.scale_invariant,
+                    sampler=feature.sampler,
+                    patch_h=feature.patch_h,
+                    patch_w=feature.patch_w,
+                )
+            )
 
         def _time(fn, *args, iters_r=6):
             for _ in range(4):
@@ -323,9 +350,13 @@ def main() -> None:
         match_ms, _ = _time(
             jax.jit(match_fn), desc_out, dsc[0].valid
         )
+        mc = feature.max_candidates
+        mc_avg = (
+            sum(mc) // len(mc) if isinstance(mc, tuple) else mc
+        )
         model = rl.stage_model(
             batch=batch, h=H, w=W, n_layers=feature.octaves * 2,
-            max_candidates=feature.max_candidates,
+            max_candidates=mc_avg,
             max_keypoints=feature.max_keypoints,
             describe_slots=feature.describe_capacity or
             feature.max_keypoints,
@@ -350,6 +381,7 @@ def main() -> None:
         )
         roofline["peaks"] = {
             "gflops": round(peaks["peak_gflops"], 1),
+            "gflops_bf16": round(peaks["peak_gflops_bf16"], 1),
             "gbs": round(peaks["peak_gbs"], 2),
         }
         worst = min(
@@ -388,6 +420,7 @@ def main_ast(batch: int, iters: int) -> None:
     """Classic-BRISK (AGAST/OAST) batched pipeline benchmark
     (BENCH_PIPELINE=ast): BriskFeatureDetector(70, octaves=3) semantics
     on the same frames, detect+describe+match, same honest timing."""
+    import jax
     import jax.numpy as jnp
 
     from ethzasl_brisk_tpu.parallel import make_mesh

@@ -251,8 +251,13 @@ class DetectorConfig:
     uniformity_radius: float = 30.0
     absolute_threshold: float = 0.0
     max_num_kpt: int = 2**31 - 1
-    # TPU-specific static capacity knobs.
-    max_candidates: int = 4096   # per-layer top-k capacity
+    # TPU-specific static capacity knobs. max_candidates may be a
+    # per-layer tuple: per-candidate cost (uniformity, refine, top_k's
+    # k) scales with the slot total and maxima counts fall ~2.5x per
+    # layer up the pyramid (bench frames at thr=20: ~6.8k, 2.6k, 1.6k,
+    # 0.8k). Overflow silently keeps only the top-k by score — keep
+    # headroom.
+    max_candidates: "int | tuple" = 4096   # per-layer top-k capacity
     max_keypoints: int = 4096    # output capacity (all layers combined)
     # The reference refines in double (Subpixel2D takes doubles,
     # scale-space-layer-inl.h:560). float32 is the TPU-native default;
@@ -279,6 +284,11 @@ class DetectorConfig:
     @property
     def n_layers(self) -> int:
         return max(self.octaves * 2, 1)
+
+    def layer_cap(self, i: int) -> int:
+        """Per-layer candidate capacity (max_candidates[i] or scalar)."""
+        mc = self.max_candidates
+        return mc[i] if isinstance(mc, tuple) else mc
 
 
 def detect_keypoints(
@@ -393,7 +403,11 @@ def detect_keypoints(
     # eating the 4x step reduction — NOTES.md dead ends.)
     cands = []
     for i in range(n_layers):
-        cands.append(_layer_candidates(scores[i], masks[i], config))
+        cands.append(
+            _layer_candidates(
+                scores[i], masks[i], config, config.layer_cap(i)
+            )
+        )
     accepts = [
         _layer_accept(cands[i], scores[i].shape, config)
         for i in range(n_layers)
@@ -438,10 +452,12 @@ def compact_accepted(xs, ys, top_scores, valid, accept, config, *extra):
     return (xs, ys, top_scores, valid, accept) + extra
 
 
-def _layer_candidates(sc, mask, config):
+def _layer_candidates(sc, mask, config, cap=None):
     """Score-descending candidate list: (xs, ys, scores, valid)."""
     h, w = sc.shape
-    k = min(config.max_candidates, h * w)
+    k = min(
+        config.max_candidates if cap is None else cap, h * w
+    )
     sentinel = (
         -jnp.inf if jnp.issubdtype(sc.dtype, jnp.floating) else INT32_MIN
     )

@@ -284,7 +284,7 @@ def detect_keypoints_tiled(
                 mask &= center_ge_warped(sc_int, w_hi, w_lo, d)
 
             # --- per-tile candidates with GLOBAL flat indices.
-            k = min(config.max_candidates, hl * wl)
+            k = min(config.layer_cap(i), hl * wl)
             k_t = min(k, tl * wl)
             masked = jnp.where(mask, sc_int, INT32_MIN)
             t_scores, t_idx = jax.lax.top_k(masked.reshape(-1), k_t)

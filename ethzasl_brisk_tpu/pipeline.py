@@ -39,7 +39,7 @@ class BriskFeature:
     rotation_invariant: bool = True
     scale_invariant: bool = True
     version: str = "v2"
-    max_candidates: int = 4096
+    max_candidates: "int | tuple" = 4096  # scalar or per-layer
     max_keypoints: int = 4096
     refine_dtype: str = "float32"
     topk_impl: str = "sort"   # "select" = sort-free exact top-k

@@ -34,29 +34,37 @@ def _force(x) -> float:
 
 
 def measure_peaks(reps: int = 3) -> dict:
-    """Measured peak f32 matmul GFLOP/s and HBM read GB/s."""
+    """Measured peak f32/bf16 matmul GFLOP/s and HBM read GB/s."""
     import jax
     import jax.numpy as jnp
 
     n = 2048
-    a = jnp.ones((n, n), jnp.float32)
-    mm = jax.jit(
-        lambda x: (x @ x).sum()
-    )
     flops = 2.0 * n * n * n
-    for _ in range(3):
-        float(np.asarray(mm(a)))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        acc = None
-        iters = 4
-        for _ in range(iters):
-            r = mm(a)
-            acc = r if acc is None else acc + r
-        float(np.asarray(acc))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    peak_gflops = flops / best / 1e9
+
+    def mm_peak(dtype):
+        a = jnp.ones((n, n), dtype)
+        mm = jax.jit(
+            lambda x: jax.lax.dot_general(
+                x, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).sum()
+        )
+        for _ in range(3):
+            float(np.asarray(mm(a)))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            acc = None
+            iters = 4
+            for _ in range(iters):
+                r = mm(a)
+                acc = r if acc is None else acc + r
+            float(np.asarray(acc))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return flops / best / 1e9
+
+    peak_gflops = mm_peak(jnp.float32)
+    peak_gflops_bf16 = mm_peak(jnp.bfloat16)
 
     m = 64 * 1024 * 1024 // 4  # 64 MB f32
     big = jnp.ones((m,), jnp.float32)
@@ -74,7 +82,11 @@ def measure_peaks(reps: int = 3) -> dict:
         float(np.asarray(acc))
         bestb = min(bestb, (time.perf_counter() - t0) / iters)
     peak_gbs = (m * 4) / bestb / 1e9
-    return {"peak_gflops": peak_gflops, "peak_gbs": peak_gbs}
+    return {
+        "peak_gflops": peak_gflops,
+        "peak_gflops_bf16": peak_gflops_bf16,
+        "peak_gbs": peak_gbs,
+    }
 
 
 def _pyramid_pixels(h: int, w: int, n_layers: int) -> float:
@@ -152,7 +164,7 @@ def stage_model(
     stages["describe"] = dict(
         gflops=2e-9 * macs_slot * 2 * slots,
         gbytes=(48 * 128 * 4 + 8 * 512 * 4) * 2e-9 * slots,
-        kind="mxu",
+        kind="mxu_bf16",  # limb dots run bf16 — compare the bf16 peak
     )
     # Match: (B-1) pairs of K x K Hamming distances via the +-1 MXU
     # matmul over desc_words*32 bits.
@@ -179,10 +191,15 @@ def report(stage_ms: dict, model: dict, peaks: dict) -> dict:
         s = ms / 1e3
         gfs = m["gflops"] / s
         gbs = m["gbytes"] / s
+        peak = (
+            peaks["peak_gflops_bf16"]
+            if m["kind"] == "mxu_bf16"
+            else peaks["peak_gflops"]
+        )
         out[name] = dict(
             ms=round(ms, 2),
             kind=m["kind"],
-            mfu=round(gfs / peaks["peak_gflops"], 4),
+            mfu=round(gfs / peak, 4),
             bandwidth_frac=round(gbs / peaks["peak_gbs"], 4),
         )
     return out

@@ -140,3 +140,34 @@ def test_detect_with_select_topk_bitwise():
         np.testing.assert_array_equal(
             np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
         )
+
+
+def test_detect_per_layer_caps_bitwise():
+    """Per-layer max_candidates == uniform capacity when both cover
+    every maximum (valid keypoints bitwise equal)."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, (240, 320)).astype(np.float32)
+    sm = ndimage.convolve(base, np.ones((5, 5)) / 25.0, mode="nearest")
+    img = jnp.asarray(np.clip(sm, 0, 255).astype(np.uint8))
+    # Maxima per layer on this image: (4050, 1787, 955, 395).
+    a = jax.jit(lambda im: detect_keypoints(im, DetectorConfig(
+        octaves=2, uniformity_radius=30.0, absolute_threshold=20.0,
+        max_candidates=8192, max_keypoints=512, max_num_kpt=512,
+    )))(img)
+    b = jax.jit(lambda im: detect_keypoints(im, DetectorConfig(
+        octaves=2, uniformity_radius=30.0, absolute_threshold=20.0,
+        max_candidates=(8192, 2048, 1024, 512), max_keypoints=512,
+        max_num_kpt=512,
+    )))(img)
+    va = np.asarray(a.valid)
+    vb = np.asarray(b.valid)
+    assert va.sum() == vb.sum()
+    oa = np.lexsort((np.asarray(a.x)[va], np.asarray(a.y)[va]))
+    ob = np.lexsort((np.asarray(b.x)[vb], np.asarray(b.y)[vb]))
+    for f in ("x", "y", "size", "response"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f))[va][oa],
+            np.asarray(getattr(b, f))[vb][ob], err_msg=f,
+        )
