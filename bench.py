@@ -94,10 +94,12 @@ def main() -> None:
         sampler=os.environ.get("BENCH_SAMPLER", "patch_pallas"),
         patch_h=128,
         patch_w=128,
-        # "select" = sort-free exact top-k (kernels/topk.py). Measured
-        # SLOWER end-to-end at bench shapes (45.2 vs 51.2 fps) despite
-        # the standalone top_k win — keep "sort" default.
-        topk_impl=os.environ.get("BENCH_TOPK", "sort"),
+        # "block" = exact two-stage block top-k (kernels/topk.py):
+        # 154 -> 162 fps over "sort" (2026-08-20), certified exact on
+        # the bench frames below before timing. "select" (bisection)
+        # measured SLOWER e2e (45.2 vs 51.2 fps) despite the standalone
+        # top_k win — launch-latency-bound.
+        topk_impl=os.environ.get("BENCH_TOPK", "block"),
         fused_mask=bool(os.environ.get("BENCH_FUSED_MASK")),
         # Valid-compaction describe budget per frame (sampler cost is
         # per-SLOT; bench frames fill ~450 of 1024 slots). 640 gives
@@ -112,6 +114,40 @@ def main() -> None:
     step = pipe.step
 
     frames = jnp.asarray(bench_frames(batch))
+
+    if feature.topk_impl == "block":
+        # One-off certification that the two-stage block top-k is exact
+        # on THESE frames (kernels/topk.topk_block returns a device
+        # flag: no block held > topk_block_r candidates at/above the
+        # k-th value). The timed pipeline then runs the same backend.
+        from ethzasl_brisk_tpu.detect.scale_space import (
+            layer_score_masks,
+        )
+        from ethzasl_brisk_tpu.kernels.topk import INT32_MIN, topk_block
+
+        cfg = feature.config
+
+        def _flags(fr):
+            def one(img):
+                scores, masks = layer_score_masks(img, cfg)
+                ok = jnp.bool_(True)
+                for i, (sc, m) in enumerate(zip(scores, masks)):
+                    x = jnp.where(m, sc, INT32_MIN).reshape(-1)
+                    _, _, ex = topk_block(
+                        x, min(cfg.layer_cap(i), x.size),
+                        block=cfg.topk_block_size, r=cfg.topk_block_r,
+                    )
+                    ok &= ex
+                return ok
+
+            return jnp.all(jax.vmap(one)(fr))
+
+        assert bool(np.asarray(jax.jit(_flags)(frames))), (
+            "topk_impl=block inexact on bench frames — raise "
+            "topk_block_r or fall back to BENCH_TOPK=sort"
+        )
+        print("topk block backend certified exact on bench frames",
+              file=sys.stderr)
 
     # Backend burn-in with a SEPARATE small executable: the first timed
     # region in a process reads up to 2x slow through the tunnel even

@@ -270,8 +270,17 @@ class DetectorConfig:
     # "compact" = mask-count compaction + k-element lexsort — no
     # sequential loop at all, bit-identical to "sort" whenever the
     # layer's maxima count fits max_candidates (the configured-capacity
-    # regime; see kernels/topk.topk_from_mask for overflow semantics).
+    # regime; see kernels/topk.topk_from_mask for overflow semantics);
+    # "block" = two-stage per-block top-r then global top-k over the
+    # survivors (kernels/topk.topk_block) — identical result incl. tie
+    # order whenever no 2048-element block holds more than topk_block_r
+    # candidates at/above the k-th value (measured per-block maxima max
+    # 66 at bench shapes vs r=256 — probe_block_topk; exactness is
+    # device-verifiable via the kernel's flag, asserted in bench.py and
+    # tests; parity configs keep "sort").
     topk_impl: str = "sort"
+    topk_block_size: int = 2048
+    topk_block_r: int = 256
     # Fuse the NMS/threshold mask into the Pallas Harris pass
     # (bit-identical; interpret-mode validated, off until measured on
     # real TPU hardware — flip after a clean bench run).
@@ -291,17 +300,18 @@ class DetectorConfig:
         return mc[i] if isinstance(mc, tuple) else mc
 
 
-def detect_keypoints(
+def layer_score_masks(
     img: jnp.ndarray,
     config: DetectorConfig,
     score_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
-) -> KeyPoints:
-    """Full scale-space detection on one uint8/uint16 image.
+) -> tuple[list[jnp.ndarray], list[jnp.ndarray]]:
+    """Per-layer (scores, candidate masks) for one image.
 
-    uint8 uses the integer Harris path (bit-exact vs the reference's
-    HarrisScoresSSE); uint16 uses the float Harris path like the
-    reference's 16-bit pipeline (HarrisScoreCalculatorFloat accepts
-    CV_16U, harris-score-calculator-float.cc:115). Jit-compatible.
+    The first half of :func:`detect_keypoints`: pyramid, per-layer
+    corner scores, and the 2d/3d-maxima + threshold candidate masks
+    (warp compares against the neighbour layers). Split out so probes
+    and alternative candidate-extraction backends can consume the real
+    masks without running the full detection tail.
     """
     base_masks: list[jnp.ndarray] | None = None
     if score_fn is None:
@@ -347,7 +357,6 @@ def detect_keypoints(
         else int(config.absolute_threshold)
     )
 
-    per_layer: list[KeyPoints] = []
     masks: list[jnp.ndarray] = []
     for i in range(n_layers):
         sc = scores[i]
@@ -396,6 +405,26 @@ def detect_keypoints(
                 mask &= center_ge_warped(sc, w_hi, w_lo, d)
 
         masks.append(mask)
+
+    return scores, masks
+
+
+def detect_keypoints(
+    img: jnp.ndarray,
+    config: DetectorConfig,
+    score_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+) -> KeyPoints:
+    """Full scale-space detection on one uint8/uint16 image.
+
+    uint8 uses the integer Harris path (bit-exact vs the reference's
+    HarrisScoresSSE); uint16 uses the float Harris path like the
+    reference's 16-bit pipeline (HarrisScoreCalculatorFloat accepts
+    CV_16U, harris-score-calculator-float.cc:115). Jit-compatible.
+    """
+    n_layers = config.n_layers
+    scores, masks = layer_score_masks(img, config, score_fn)
+    geoms = [layer_geometry(i) for i in range(n_layers)]
+    per_layer: list[KeyPoints] = []
 
     # Candidate extraction + uniformity per layer. (A single
     # layer-batched vmapped uniformity call measured NO faster: the
@@ -468,7 +497,14 @@ def _layer_candidates(sc, mask, config, cap=None):
     # threshold + prefix compaction (kernels/topk.py, bit-identical).
     masked = jnp.where(mask, sc, sentinel)
     is_int = not jnp.issubdtype(sc.dtype, jnp.floating)
-    if config.topk_impl == "select" and is_int:
+    if config.topk_impl == "block" and is_int:
+        from ethzasl_brisk_tpu.kernels.topk import topk_block
+
+        top_scores, top_idx, _ = topk_block(
+            masked.reshape(-1), k,
+            block=config.topk_block_size, r=config.topk_block_r,
+        )
+    elif config.topk_impl == "select" and is_int:
         from ethzasl_brisk_tpu.kernels.topk import topk_int32
 
         top_scores, top_idx = topk_int32(masked.reshape(-1), k)

@@ -129,3 +129,57 @@ def topk_from_mask(
     # legitimately hold INT32_MIN), exactly lax.top_k's order.
     order = jnp.lexsort((idx, ~vals))
     return jnp.take(vals, order), jnp.take(idx, order)
+
+
+def topk_block(
+    x: jnp.ndarray, k: int, block: int = 2048, r: int = 256
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-stage exact top-k of a 1-D int32 array via block reduction.
+
+    Stage 1 takes the top-``r`` of each flat ``block``-element chunk
+    (one batched small sort); stage 2 runs ``lax.top_k`` over the
+    ``nb*r`` survivors (~block/r times smaller than the full map).
+    Replaces the full-map descending candidate sort of the reference
+    (brisk/include/brisk/internal/score-calculator.h:66-85;
+    scale-space-layer-inl.h:372-392) at a fraction of the sort cost.
+
+    Tie order is IDENTICAL to ``lax.top_k`` (values descending, ties by
+    ascending flat index) for every element above the sentinel: kept
+    elements are enumerated in (block, rank) order, which restricted to
+    any tied-value group is ascending-flat-index order.
+
+    Exactness is data-dependent (a block with more than ``r`` entries
+    at or above the global k-th value would have dropped candidates);
+    the returned ``exact`` scalar certifies the call:
+
+        exact = ~any(block_valid_count > r  AND  block_rth >= kth)
+
+    When ``exact`` is False the result may differ from ``lax.top_k``
+    for SENTINEL-tied tail entries or k-th-value ties only if a block
+    overflowed into the relevant range — callers choosing this backend
+    must size ``r`` with headroom (see tools/probes/probe_block_topk.py
+    for measured per-block maxima distributions) and may assert the
+    flag in exactness gates.
+
+    Only entries with value > INT32_MIN participate in the guarantee:
+    the index order of the sentinel (invalid) tail differs from
+    ``lax.top_k``'s, which downstream ignores (valid=False).
+    """
+    n = x.size
+    nb = (n + block - 1) // block
+    # Small maps (or k beyond the survivor count): no reduction is
+    # possible — plain top_k, trivially exact.
+    if k >= n or n <= block or nb * r <= k:
+        v, i = jax.lax.top_k(x, k)
+        return v, i, jnp.bool_(True)
+    if nb * block != n:
+        x = jnp.pad(x, (0, nb * block - n), constant_values=INT32_MIN)
+    xb = x.reshape(nb, block)
+    v1, i1 = jax.lax.top_k(xb, r)              # (nb, r)
+    flat_idx = i1 + (jnp.arange(nb, dtype=i1.dtype) * block)[:, None]
+    v2, i2 = jax.lax.top_k(v1.reshape(-1), k)
+    idx = jnp.take(flat_idx.reshape(-1), i2)
+    kth = v2[k - 1]
+    counts = jnp.sum(xb > INT32_MIN, axis=1)
+    exact = ~jnp.any((counts > r) & (v1[:, r - 1] >= kth))
+    return v2, idx, exact

@@ -80,8 +80,21 @@ def build_ba_problem(
     max_landmarks: int = 2048,
     max_observations: int = 8192,
     min_track_len: int = 2,
+    max_obs_residual_px: float = 0.0,
 ) -> BaProblem:
-    """Assemble a fixed-capacity BA window from tracked matches."""
+    """Assemble a fixed-capacity BA window from tracked matches.
+
+    ``max_obs_residual_px > 0`` enables the pre-BA track gate: each
+    observation's reprojection residual of the triangulated landmark
+    under the INITIAL poses is computed, observations above the
+    threshold (or behind the camera) are invalidated, and a landmark
+    keeping fewer than ``min_track_len`` observations is dropped
+    entirely. This targets coherently-moving scene content (e.g. an
+    occluder crossing the view): such tracks triangulate consistently
+    from their endpoints but misfit the middle observations, which a
+    per-observation robust loss inside BA cannot distinguish from pose
+    error because the track is *self*-consistent with a wrong motion.
+    """
     n_frames = len(poses)
     tracks = [
         t
@@ -137,6 +150,36 @@ def build_ba_problem(
             uv.append(keypoint_xy[f][k])
             valid.append(bool(tri_ok[li]))
     n_obs = len(kf_idx)
+
+    if max_obs_residual_px > 0 and n_obs:
+        # Pre-BA residual gate (see docstring): reproject the initial
+        # landmarks through the initial poses and drop misfitting
+        # observations, then landmarks that fall under min_track_len.
+        kf_a = np.asarray(kf_idx)
+        lm_a = np.asarray(lm_idx)
+        uv_a2 = np.asarray(uv, np.float64)
+        p_w = pts[lm_a]
+        x_c = (
+            np.einsum("nij,nj->ni", r_all[kf_a].astype(np.float64), p_w)
+            + t_all[kf_a].astype(np.float64)
+        )
+        z = x_c[:, 2]
+        behind = z <= 1e-6
+        z_safe = np.where(behind, 1.0, z)
+        u_p = float(camera.fu) * x_c[:, 0] / z_safe + float(camera.cu)
+        v_p = float(camera.fv) * x_c[:, 1] / z_safe + float(camera.cv)
+        res = np.hypot(u_p - uv_a2[:, 0], v_p - uv_a2[:, 1])
+        ok = (
+            np.asarray(valid)
+            & ~behind
+            & (res <= max_obs_residual_px)
+        )
+        # Landmark survives only with >= min_track_len clean obs.
+        keep_count = np.bincount(
+            lm_a[ok], minlength=len(pts)
+        )
+        lm_ok = keep_count >= min_track_len
+        valid = list(ok & lm_ok[lm_a])
 
     def cap(arr, fill, dtype, width=None):
         shape = (max_observations,) if width is None else (

@@ -171,3 +171,99 @@ def test_detect_per_layer_caps_bitwise():
             np.asarray(getattr(a, f))[va][oa],
             np.asarray(getattr(b, f))[vb][ob], err_msg=f,
         )
+
+
+@pytest.mark.parametrize("kind", ["sparse", "ties", "uniform"])
+def test_topk_block_matches_lax(kind):
+    """topk_block == lax.top_k bitwise (valid entries) when exact=True."""
+    from ethzasl_brisk_tpu.kernels.topk import topk_block
+
+    seeds = {"sparse": 11, "ties": 22, "uniform": 33}
+    rng = np.random.default_rng(seeds[kind])
+    n, k = 307_200, 8192
+    if kind == "sparse":
+        # Candidate-mask-like data: ~2% valid, like bench layer 0.
+        x = np.full(n, INT32_MIN, np.int32)
+        m = rng.random(n) < 0.02
+        x[m] = rng.integers(20, 10_000, m.sum()).astype(np.int32)
+    elif kind == "ties":
+        x = np.full(n, INT32_MIN, np.int32)
+        m = rng.random(n) < 0.05
+        x[m] = rng.integers(0, 6, m.sum()).astype(np.int32)
+    else:
+        x = rng.integers(-2**31, 2**31 - 1, n, dtype=np.int64).astype(
+            np.int32
+        )
+    xv = jnp.asarray(x)
+    rv, ri = jax.lax.top_k(xv, k)
+    tv, ti, ex = jax.jit(
+        lambda a: topk_block(a, k, block=2048, r=256)
+    )(xv)
+    # Dense uniform data fills every block past r, yet stays exact:
+    # the global k-th (~top 2.7%) sits well above each block's r-th
+    # (~top 12.5%), so nothing dropped was relevant — the flag must
+    # recognize that, not cry wolf on mere block fullness.
+    assert bool(ex)
+    rv, ri, tv, ti = map(np.asarray, (rv, ri, tv, ti))
+    valid = rv > INT32_MIN
+    np.testing.assert_array_equal(rv, tv)
+    np.testing.assert_array_equal(ri[valid], ti[valid])
+
+
+def test_topk_block_overflow_flag_is_sharp():
+    """Flag stays True when overflow is BELOW the k-th value (harmless)."""
+    from ethzasl_brisk_tpu.kernels.topk import topk_block
+
+    n, k, block, r = 16_384, 64, 2048, 32
+    x = np.full(n, INT32_MIN, np.int32)
+    # Block 0: r+10 entries but all small (below the global k-th).
+    x[: r + 10] = 1
+    # The k winners spread over blocks 1-4 (16 each, under r).
+    for b in range(1, 5):
+        x[b * block : b * block + 16] = 1000
+    tv, ti, ex = jax.jit(
+        lambda a: topk_block(a, k, block=block, r=r)
+    )(jnp.asarray(x))
+    rv, ri = jax.lax.top_k(jnp.asarray(x), k)
+    assert bool(ex)
+    np.testing.assert_array_equal(np.asarray(rv), np.asarray(tv))
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(ti))
+    # Now push block 0's overflow INTO the k-th-value range: not exact.
+    x2 = x.copy()
+    x2[: r + 10] = 1000
+    _, _, ex2 = jax.jit(
+        lambda a: topk_block(a, k, block=block, r=r)
+    )(jnp.asarray(x2))
+    assert not bool(ex2)
+
+
+def test_detect_block_topk_bitwise_equal():
+    """Full detect with topk_impl='block' == 'sort', bitwise, real image."""
+    rng = np.random.default_rng(5)
+    from scipy import ndimage
+
+    img = ndimage.gaussian_filter(
+        rng.uniform(0, 255, (240, 320)), 1.5
+    ).astype(np.uint8)
+    base = dict(
+        octaves=2, absolute_threshold=20.0, max_candidates=2048,
+        max_num_kpt=512, uniformity_radius=30.0,
+    )
+    from ethzasl_brisk_tpu.kernels.harris import harris_score_i32
+
+    kp_sort = jax.jit(
+        lambda im: detect_keypoints(
+            im, DetectorConfig(**base), harris_score_i32
+        )
+    )(jnp.asarray(img))
+    kp_block = jax.jit(
+        lambda im: detect_keypoints(
+            im, DetectorConfig(**base, topk_impl="block"),
+            harris_score_i32,
+        )
+    )(jnp.asarray(img))
+    for f in ("x", "y", "response", "size", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kp_sort, f)),
+            np.asarray(getattr(kp_block, f)), err_msg=f,
+        )

@@ -97,3 +97,64 @@ def test_tracks_to_ba():
             np.asarray(solved.t)[i] - poses_gt[i][1]
         )
         assert err_opt < err_init, (i, err_init, err_opt)
+
+
+@pytest.mark.quick
+def test_residual_gate_drops_moving_track():
+    """max_obs_residual_px invalidates coherently-moving tracks.
+
+    Exact synthetic geometry: static landmarks project with zero
+    residual; one track's middle observation is displaced (a moving
+    point seen by 3 frames triangulates consistently from its endpoints
+    but misfits the middle). The gate must drop that landmark entirely
+    (its surviving-observation count falls under min_track_len) and
+    keep every static track untouched.
+    """
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.geometry import PinholeCamera
+    from ethzasl_brisk_tpu.vo.tracks import build_ba_problem
+
+    rng = np.random.default_rng(0)
+    cam = PinholeCamera.create(400.0, 400.0, 320.0, 240.0, 640, 480)
+    n_frames, n_pts = 3, 12
+    pts = np.stack(
+        [rng.uniform(-1, 1, n_pts), rng.uniform(-0.8, 0.8, n_pts),
+         rng.uniform(4.0, 7.0, n_pts)], 1
+    )
+    poses = []
+    for i in range(n_frames):
+        r = np.eye(3)
+        t = np.array([-0.3 * i, 0.0, 0.0])   # camera-from-world
+        poses.append((r, t))
+
+    keypoint_xy = []
+    for (r, t) in poses:
+        x_c = pts @ r.T + t
+        uv = np.stack(
+            [400.0 * x_c[:, 0] / x_c[:, 2] + 320.0,
+             400.0 * x_c[:, 1] / x_c[:, 2] + 240.0], 1
+        )
+        keypoint_xy.append(uv.astype(np.float32))
+    # Landmark 0 "moves": displace its middle-frame observation.
+    keypoint_xy[1][0, 0] += 25.0
+
+    ident = np.arange(n_pts)
+    ones = np.ones(n_pts, bool)
+    pair_matches = [(ident, ones), (ident, ones)]
+
+    def n_valid(**kw):
+        prob = build_ba_problem(
+            cam, poses, keypoint_xy, pair_matches,
+            max_landmarks=64, max_observations=256,
+            min_track_len=3, **kw,
+        )
+        return int(np.asarray(prob.valid).sum()), prob
+
+    n_off, _ = n_valid()
+    n_on, prob = n_valid(max_obs_residual_px=8.0)
+    assert n_off == n_frames * n_pts, n_off
+    # The whole 3-observation moving track is gone, nothing else.
+    assert n_on == n_frames * (n_pts - 1), (n_on, n_off)
+    lm = np.asarray(prob.lm_idx)[np.asarray(prob.valid)]
+    assert 0 not in lm

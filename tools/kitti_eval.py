@@ -73,6 +73,13 @@ def main():
     ap.add_argument("--threshold", type=float, default=30.0)
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--ba-min-track-len", type=int, default=3)
+    ap.add_argument("--ba-max-obs-residual", type=float, default=8.0,
+                    help="pre-BA track gate: drop observations whose "
+                         "initial reprojection residual exceeds this "
+                         "(px) and landmarks left with < min-track-len "
+                         "observations; rejects coherently-moving "
+                         "content (occluders) that robust losses "
+                         "inside BA cannot (0 disables)")
     ap.add_argument("--ba-solver", choices=["lm", "trimmed", "gn"],
                     default="trimmed",
                     help="lm = Levenberg-Marquardt with step accept/"
@@ -323,6 +330,7 @@ def main():
             cam, win_poses, keypoint_xy, pair_matches,
             max_landmarks=1024, max_observations=4096,
             min_track_len=args.ba_min_track_len,
+            max_obs_residual_px=args.ba_max_obs_residual,
         )
         if int(np.asarray(prob.valid).sum()) < 30:
             continue
@@ -399,17 +407,28 @@ def main():
             continue
         n_ba_runs += 1
 
-        # Propagate: replace window keyframe poses, and apply the newest
-        # keyframe's correction to every frame after it.
-        old_last = poses[win_frames[-1]].copy()
+        # Propagate: replace window keyframe poses, apply each
+        # keyframe's rigid correction to the intermediate frames of its
+        # following segment, and the newest keyframe's correction to
+        # every frame after it. Correcting ONLY the keyframes leaves
+        # the in-between frames on the old trajectory — measured
+        # zigzag discontinuities inflating the estimated path length
+        # 2-5x over ground truth (24-54 vs GT ~10.5 on the 200-frame
+        # synthetic bench) and corrupting ATE.
+        old_poses = {f: poses[f].copy() for f in win_frames}
         for j, f in enumerate(win_frames):
             m = np.eye(4)
             m[:3, :3] = r_new[j].T
             m[:3, 3] = -r_new[j].T @ t_new[j]
             poses[f] = m
-        corr = poses[win_frames[-1]] @ np.linalg.inv(old_last)
-        for f in range(win_frames[-1] + 1, len(poses)):
-            poses[f] = corr @ poses[f]
+        for j, f in enumerate(win_frames):
+            corr = poses[f] @ np.linalg.inv(old_poses[f])
+            seg_end = (
+                win_frames[j + 1] if j + 1 < len(win_frames)
+                else len(poses)
+            )
+            for g in range(f + 1, seg_end):
+                poses[g] = corr @ poses[g]
 
     if ckpt_mgr is not None:
         ckpt_mgr.close()

@@ -83,12 +83,18 @@ def main():
     from ethzasl_brisk_tpu.match.matcher import hamming_distance_matrix
     from ethzasl_brisk_tpu.pipeline import BriskFeature
 
+    cands_env = os.environ.get("PROF_CANDS", "8192,4096,2048,1024")
+    cands = (
+        tuple(int(c) for c in cands_env.split(","))
+        if "," in cands_env else int(cands_env)
+    )
     feature = BriskFeature(
         octaves=int(os.environ.get("PROF_OCTAVES", "2")),
         uniformity_radius=float(os.environ.get("PROF_URADIUS", "30")),
         absolute_threshold=float(os.environ.get("PROF_THRESHOLD", "20")),
-        max_candidates=int(os.environ.get("PROF_CANDS", "4096")),
+        max_candidates=cands,
         max_keypoints=int(os.environ.get("PROF_KPTS", "1024")),
+        topk_impl=os.environ.get("PROF_TOPK", "sort"),
     )
     cfg = feature.config
     print(
