@@ -100,6 +100,18 @@ def main() -> None:
         # measured SLOWER e2e (45.2 vs 51.2 fps) despite the standalone
         # top_k win — launch-latency-bound.
         topk_impl=os.environ.get("BENCH_TOPK", "block"),
+        # Refine-tail slots (gather cost ~ slots; accepted counts on
+        # the bench frames are ~317/137/87/50 per layer -> 2.4-2.9x
+        # headroom, certified below). "0" disables.
+        refine_capacity=(
+            None
+            if os.environ.get("BENCH_REFINE_CAP", "") == "0"
+            else tuple(
+                int(c) for c in os.environ.get(
+                    "BENCH_REFINE_CAP", "768,384,256,128"
+                ).split(",")
+            )
+        ),
         fused_mask=bool(os.environ.get("BENCH_FUSED_MASK")),
         # Valid-compaction describe budget per frame (sampler cost is
         # per-SLOT; bench frames fill ~450 of 1024 slots). 640 gives
@@ -115,12 +127,16 @@ def main() -> None:
 
     frames = jnp.asarray(bench_frames(batch))
 
-    if feature.topk_impl == "block":
-        # One-off certification that the two-stage block top-k is exact
-        # on THESE frames (kernels/topk.topk_block returns a device
+    if feature.topk_impl == "block" or feature.refine_capacity:
+        # One-off certification that the capacity-classed backends are
+        # exact on THESE frames: (a) the two-stage block top-k (device
         # flag: no block held > topk_block_r candidates at/above the
-        # k-th value). The timed pipeline then runs the same backend.
+        # k-th value), (b) the refine-tail caps (per-layer accepted
+        # count <= refine_capacity[i]). The timed pipeline then runs
+        # the same backends.
         from ethzasl_brisk_tpu.detect.scale_space import (
+            _layer_accept,
+            _layer_candidates,
             layer_score_masks,
         )
         from ethzasl_brisk_tpu.kernels.topk import INT32_MIN, topk_block
@@ -132,22 +148,31 @@ def main() -> None:
                 scores, masks = layer_score_masks(img, cfg)
                 ok = jnp.bool_(True)
                 for i, (sc, m) in enumerate(zip(scores, masks)):
-                    x = jnp.where(m, sc, INT32_MIN).reshape(-1)
-                    _, _, ex = topk_block(
-                        x, min(cfg.layer_cap(i), x.size),
-                        block=cfg.topk_block_size, r=cfg.topk_block_r,
-                    )
-                    ok &= ex
+                    if feature.topk_impl == "block":
+                        x = jnp.where(m, sc, INT32_MIN).reshape(-1)
+                        _, _, ex = topk_block(
+                            x, min(cfg.layer_cap(i), x.size),
+                            block=cfg.topk_block_size,
+                            r=cfg.topk_block_r,
+                        )
+                        ok &= ex
+                    rc = cfg.refine_cap(i)
+                    if rc is not None:
+                        c = _layer_candidates(sc, m, cfg,
+                                              cfg.layer_cap(i))
+                        a = _layer_accept(c, sc.shape, cfg)
+                        ok &= jnp.sum(a.astype(jnp.int32)) <= rc
                 return ok
 
             return jnp.all(jax.vmap(one)(fr))
 
         assert bool(np.asarray(jax.jit(_flags)(frames))), (
-            "topk_impl=block inexact on bench frames — raise "
-            "topk_block_r or fall back to BENCH_TOPK=sort"
+            "block top-k or refine caps inexact on bench frames — "
+            "raise topk_block_r / BENCH_REFINE_CAP or disable "
+            "(BENCH_TOPK=sort, BENCH_REFINE_CAP=0)"
         )
-        print("topk block backend certified exact on bench frames",
-              file=sys.stderr)
+        print("topk block + refine caps certified exact on bench "
+              "frames", file=sys.stderr)
 
     # Backend burn-in with a SEPARATE small executable: the first timed
     # region in a process reads up to 2x slow through the tunnel even

@@ -16,6 +16,46 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def take_packed(arrays, idx):
+    """Gather the same indices from many equal-length 1-D arrays with
+    ONE gather op.
+
+    Bitcasts each f32/i32/bool array to int32 lanes, stacks them into
+    a (len, N) matrix, performs a single row gather, and unpacks —
+    bit-exact for every supported dtype (f32 roundtrips through int32
+    bitcast; bool through widening). NOTE: measured NEUTRAL vs N
+    separate takes at detect shapes (gather cost there is bytes-bound,
+    not op-count-bound — probe_detect_split r4); kept for the
+    single-gather structure, not as a perf claim.
+    """
+    cols = []
+    kinds = []
+    for a in arrays:
+        if a.dtype == jnp.float32:
+            cols.append(jax.lax.bitcast_convert_type(a, jnp.int32))
+            kinds.append("f32")
+        elif a.dtype == jnp.int32:
+            cols.append(a)
+            kinds.append("i32")
+        elif a.dtype == jnp.bool_:
+            cols.append(a.astype(jnp.int32))
+            kinds.append("bool")
+        else:
+            raise TypeError(f"take_packed: unsupported dtype {a.dtype}")
+    packed = jnp.stack(cols, axis=-1)          # (len, N)
+    taken = jnp.take(packed, idx, axis=0)      # (k, N) one gather
+    out = []
+    for j, kind in enumerate(kinds):
+        c = taken[:, j]
+        if kind == "f32":
+            out.append(jax.lax.bitcast_convert_type(c, jnp.float32))
+        elif kind == "bool":
+            out.append(c.astype(jnp.bool_))
+        else:
+            out.append(c)
+    return tuple(out)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class KeyPoints:
@@ -65,16 +105,26 @@ class KeyPoints:
             )
         )
 
+    def _take_all(self, idx) -> "KeyPoints":
+        """Gather all 7 fields at ``idx`` with one packed gather op
+        (1-D/unbatched only — vmap supplies the batched case)."""
+        if self.x.ndim == 1:
+            return KeyPoints(*take_packed(
+                [getattr(self, f.name)
+                 for f in dataclasses.fields(KeyPoints)], idx,
+            ))
+        return jax.tree.map(lambda a: jnp.take(a, idx, axis=-1), self)
+
     def compact(self) -> "KeyPoints":
         """Move valid keypoints to the front (stable), keeping capacity."""
         order = jnp.argsort(~self.valid, stable=True)
-        return jax.tree.map(lambda a: jnp.take(a, order, axis=-1), self)
+        return self._take_all(order)
 
     def top_k(self, k: int) -> "KeyPoints":
         """Keep the k highest-response valid keypoints (capacity -> k)."""
         score = jnp.where(self.valid, self.response, -jnp.inf)
         _, idx = jax.lax.top_k(score, k)
-        return jax.tree.map(lambda a: jnp.take(a, idx, axis=-1), self)
+        return self._take_all(idx)
 
     def to_numpy(self) -> dict:
         """Host-side dict of numpy arrays with only the valid entries."""

@@ -110,9 +110,10 @@ def _bucket_branch(
             anchored_i = wi - wi[0:1, :] - wi[:, 0:1] + wi[0, 0]
 
             # Index vectors come PRE-FLATTENED from XLA (Mosaic rejects
-            # lane reshapes like (p, 8) -> (p*8,)): relc (p*8,) with
-            # lane l = point*8 + jcol; relr (8, p*8) with the row of
-            # row-tap i broadcast over the point's 8 col lanes.
+            # lane reshapes like (p, 6) -> (p*6,)): relc (pl8,) with
+            # lane l = point*6 + jcol; relr holds 4 i32 words per
+            # keypoint, each packing TWO 16-bit row coordinates (rows
+            # 2m low, 2m+1 high) broadcast over the point's col lanes.
             colv = relc_ref[j].reshape(1, pl8)
             sub_w = jax.lax.broadcasted_iota(
                 jnp.int32, (pw_win, pl8), 0
@@ -161,7 +162,10 @@ def _bucket_branch(
             )
             rows_out = []
             for i in range(6):
-                ri = relr_ref[j, i].reshape(1, pl8)
+                # 16-bit unpack: word m = i//2 holds rows 2m (low) and
+                # 2m+1 (high) — see the host-side packing note.
+                word = relr_ref[4 * j + i // 2].reshape(1, pl8)
+                ri = (word >> (16 * (i % 2))) & 0xFFFF
                 mask = (sub_h == ri).astype(jnp.float32)
                 acc = None
                 for sel, wgt in zip(sels, weights):
@@ -180,7 +184,7 @@ def _bucket_branch(
 @functools.partial(
     jax.jit,
     static_argnames=("patch_sizes", "group", "frame_rows",
-                     "interpret", "v1_rounding"),
+                     "interpret", "v1_rounding", "debug_stop"),
 )
 def smoothed_intensity_patch_pallas(
     img: jnp.ndarray,           # unused (API parity)
@@ -198,8 +202,16 @@ def smoothed_intensity_patch_pallas(
     row_base: jnp.ndarray | None = None,
     frame_rows: int | None = None,
     interpret: bool = False,
+    debug_stop: str | None = None,
 ) -> jnp.ndarray:
-    """Drop-in for smoothed_intensity_patch_ms (bit-identical values)."""
+    """Drop-in for smoothed_intensity_patch_ms (bit-identical values).
+
+    ``debug_stop`` truncates the computation for stage cost probes
+    (tools/probes/probe_describe_split.py): "prep" returns the packed
+    kernel inputs (host-XLA bucket/sort/index prep only), "taps" the
+    raw kernel output before unsort + tap weighting. Production callers
+    leave it None.
+    """
     rows_i, cols_i = integral.shape
     frame_rows_i = rows_i if frame_rows is None else frame_rows + 1
     k, p = pat_x.shape
@@ -349,6 +361,9 @@ def smoothed_intensity_patch_pallas(
         + (ax_l - ax128)[:, None, None]
     )
 
+    if debug_stop == "geom":
+        return rows_s, cols_s, ay8, ax128, br_s
+
     # Pre-flattened index vectors (Mosaic cannot reshape lanes in the
     # kernel); rows (K, 6, p*6) carry row-tap i's coordinate broadcast
     # over the point's 6 col lanes.
@@ -358,13 +373,20 @@ def smoothed_intensity_patch_pallas(
     pl8 = -(-(p * 6) // 128) * 128  # lane dim must be a 128 multiple
     colsf = cols_s.reshape(k, p * 6)
     colsf = jnp.pad(colsf, ((0, 0), (0, pl8 - p * 6)))
-    rowsf = jnp.repeat(
-        jnp.transpose(rows_s, (0, 2, 1)), 6, axis=2
-    )  # (K, 6, p*6)
-    rowsf = jnp.pad(
-        rowsf, ((0, 0), (0, 2), (0, pl8 - p * 6))
-    )  # i axis 6 -> 8 sublane alignment
-    relr = pad0(rowsf).reshape(n_groups, group, 8, pl8)
+    # 16-bit pack pairs of i-rows into one i32 word (window rows are
+    # < 2^16): the row-index array is the biggest kernel input
+    # (16 KB/keypoint unpacked) — packing halves both its XLA pack
+    # write and the kernel's VMEM read; the kernel unpacks with a
+    # shift+mask per i (_bucket_branch). Pack BEFORE the 6-lane repeat
+    # so only the half-size array is ever materialized (packing after
+    # the repeat measured 14.3 vs 9.3 ms — XLA writes both copies).
+    rows_t = jnp.transpose(rows_s, (0, 2, 1))         # (K, 6i, p)
+    packed_small = rows_t[:, 0::2, :] | (rows_t[:, 1::2, :] << 16)
+    packed_r = jnp.repeat(packed_small, 6, axis=2)    # (K, 3, p*6)
+    packed_r = jnp.pad(
+        packed_r, ((0, 0), (0, 1), (0, pl8 - p * 6))
+    )  # word axis 3 -> 4 (i rows 6,7 are zero-padding)
+    relr = pad0(packed_r).reshape(n_groups, group * 4, pl8)
     relc = pad0(colsf).reshape(n_groups, group, pl8)
     ay8_p = pad0(ay8).reshape(-1)
     ax128_p = pad0(ax128).reshape(-1)
@@ -375,6 +397,9 @@ def smoothed_intensity_patch_pallas(
     # group's bucket id into that bucket's statically-shaped window
     # scratch (per-bucket double buffers; VMEM total is the sum over
     # buckets — well under budget at every supported config).
+    if debug_stop == "prep":
+        return relr, relc, ay8_p, ax128_p, br_g, integral
+
     kernel = functools.partial(
         _kernel, group, tuple(buckets), pl8, rows_i
     )
@@ -384,7 +409,7 @@ def smoothed_intensity_patch_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (1, group, 8, pl8), lambda i, *_: (i, 0, 0, 0),
+                (1, group * 4, pl8), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -421,11 +446,25 @@ def smoothed_intensity_patch_pallas(
         interpret=interpret,
     )(ay8_p, ax128_p, br_g, integral, relr, relc)
 
-    # (n_groups, group, 8i, pl8) -> (K, p, 6, 6) in input order.
+    if debug_stop == "taps":
+        return taps
+
+    # (n_groups, group, 8i, pl8) -> (K, p, 6, 6) in SORTED keypoint
+    # order. Weight in sorted order and un-sort only the final (K, p)
+    # values: gathering the taps back to input order first moved
+    # 9.3 KB/keypoint (vs ~4.4 KB for the geometry fields the
+    # weighting needs, and 0.26 KB for the values) — gather cost here
+    # is bytes-bound, not op-count-bound (probe_describe_split).
     taps = taps.reshape(n_groups * group, 8, pl8)[:k, :6, : p * 6]
     taps = taps.reshape(k, 6, p, 6)
     taps = jnp.transpose(taps, (0, 2, 1, 3))  # (K, p, 6i, 6jcol)
-    taps = jnp.take(taps, inv, axis=0)
-    return _values_from_taps(
-        taps, g, pat_scaling, pat_scaling2, v1_rounding=v1_rounding
+    g_s = {
+        f: take(g[f])
+        for f in ("xf", "yf", "small", "big", "x_1", "x1", "y_1", "y1",
+                  "x_left", "y_top", "x_right", "y_bottom", "x_i", "y_i")
+    }
+    vals_s = _values_from_taps(
+        taps, g_s, take(pat_scaling), take(pat_scaling2),
+        v1_rounding=v1_rounding,
     )
+    return jnp.take(vals_s, inv, axis=0)

@@ -281,6 +281,17 @@ class DetectorConfig:
     topk_impl: str = "sort"
     topk_block_size: int = 2048
     topk_block_r: int = 256
+    # Static per-layer budget for the subpixel-refine tail (None =
+    # min(max_num_kpt, k), the exact default). The refine patch gather
+    # is random-access-bound at ~10-20 ns per index regardless of op
+    # structure or locality (probe_gather_locality r4), so its cost is
+    # proportional to SLOTS — but only the uniformity-accepted prefix
+    # (~320/137/87/50 per layer on bench frames) is ever valid. A
+    # tuple sized with 2-3x headroom over the accepted counts buys the
+    # gather reduction; overflow silently drops the lowest-priority
+    # accepted candidates (same capacity class as max_candidates;
+    # bench.py certifies the accepted counts fit on its frames).
+    refine_capacity: "int | tuple | None" = None
     # Fuse the NMS/threshold mask into the Pallas Harris pass
     # (bit-identical; interpret-mode validated, off until measured on
     # real TPU hardware — flip after a clean bench run).
@@ -298,6 +309,13 @@ class DetectorConfig:
         """Per-layer candidate capacity (max_candidates[i] or scalar)."""
         mc = self.max_candidates
         return mc[i] if isinstance(mc, tuple) else mc
+
+    def refine_cap(self, i: int) -> "int | None":
+        """Per-layer refine-tail capacity (refine_capacity[i]/scalar)."""
+        rc = self.refine_capacity
+        if rc is None:
+            return None
+        return rc[i] if isinstance(rc, tuple) else rc
 
 
 def layer_score_masks(
@@ -442,11 +460,17 @@ def detect_keypoints(
         for i in range(n_layers)
     ]
 
-    for i in range(n_layers):
-        xs, ys, top_scores, valid = cands[i]
-        xs, ys, top_scores, valid, accept = compact_accepted(
-            xs, ys, top_scores, valid, accepts[i], config
+    compacted = [
+        compact_accepted(
+            *cands[i], accepts[i], config, cap=config.refine_cap(i)
         )
+        for i in range(n_layers)
+    ]
+    if n_layers > 1 and len({t[0].shape[0] for t in compacted}) == 1:
+        return _refine_keypoints_fused(scores, compacted, geoms, config)
+
+    for i in range(n_layers):
+        xs, ys, top_scores, valid, accept = compacted[i]
         kps = _refine_layer_keypoints(
             scores[i], xs, ys, top_scores, valid, accept, geoms[i],
             config,
@@ -456,7 +480,8 @@ def detect_keypoints(
     return KeyPoints.concatenate(per_layer)
 
 
-def compact_accepted(xs, ys, top_scores, valid, accept, config, *extra):
+def compact_accepted(xs, ys, top_scores, valid, accept, config, *extra,
+                     cap=None):
     """Compact accepted candidates to a min(max_num_kpt, k) prefix.
 
     Uniformity/bucketing accepts at most min(max_num_kpt, k) candidates;
@@ -469,15 +494,27 @@ def compact_accepted(xs, ys, top_scores, valid, accept, config, *extra):
     tile-sharded path applies the same compaction so its output packing
     stays bitwise-equal to the dense path.
     """
-    cap = min(xs.shape[0], config.max_num_kpt)
+    cap = min(
+        xs.shape[0], config.max_num_kpt,
+        xs.shape[0] if cap is None else cap,
+    )
     if cap < xs.shape[0]:
+        from ethzasl_brisk_tpu.core.keypoints import take_packed
+
         order = jnp.argsort(~accept, stable=True)[:cap]
-        xs = jnp.take(xs, order)
-        ys = jnp.take(ys, order)
-        top_scores = jnp.take(top_scores, order)
-        valid = jnp.take(valid, order)
-        accept = jnp.take(accept, order)
-        extra = tuple(jnp.take(e, order, axis=0) for e in extra)
+        # One packed gather for every 1-D column (gathers are op-count-
+        # bound on TPU — NOTES); multi-dim extras keep their own take.
+        flat = [xs, ys, top_scores, valid, accept] + [
+            e for e in extra if e.ndim == 1
+        ]
+        taken = list(take_packed(flat, order))
+        xs, ys, top_scores, valid, accept = taken[:5]
+        rest = taken[5:]
+        extra = tuple(
+            rest.pop(0) if e.ndim == 1
+            else jnp.take(e, order, axis=0)
+            for e in extra
+        )
     return (xs, ys, top_scores, valid, accept) + extra
 
 
@@ -540,6 +577,85 @@ def _layer_accept(cand, shape, config):
     )
 
 
+def _refine_keypoints_fused(
+    scores, compacted, geoms, config: DetectorConfig
+) -> KeyPoints:
+    """Cross-layer fused subpixel-refine + packing tail.
+
+    The per-layer tail (9 patch takes + subpixel + KeyPoints packing,
+    repeated for each layer) is LAUNCH-COUNT-bound on the TPU backend:
+    probe_detect_split measured gather 46 + refine/pack 56 of detect's
+    212 ms/batch64, dominated by dozens of small kernels over (B, 1024)
+    arrays. After compact_accepted every layer shares the same capacity
+    C, so the candidates stack to (L, C) and the whole tail runs ONCE
+    against a single concatenated flat score map (9 takes total), with
+    per-layer scale/offset/size/octave broadcast from (L,) constants.
+    Output ordering (layer-major) and every float chain match the
+    per-layer path; the same optimization_barrier fences pin the FMA
+    contraction (see refine_from_patches).
+    """
+    import numpy as _np
+
+    n_layers = len(scores)
+    c = compacted[0][0].shape[0]
+    xs = jnp.stack([t[0] for t in compacted])        # (L, C)
+    ys = jnp.stack([t[1] for t in compacted])
+    tsc = jnp.stack([t[2] for t in compacted])
+    accept = jnp.stack([t[4] for t in compacted])
+    flat_all = jnp.concatenate([s.reshape(-1) for s in scores])
+    h_l = jnp.asarray([[s.shape[0]] for s in scores], jnp.int32)
+    w_l = jnp.asarray([[s.shape[1]] for s in scores], jnp.int32)
+    off_l = jnp.asarray(
+        _np.cumsum([0] + [s.size for s in scores[:-1]]), jnp.int32
+    )[:, None]
+
+    rows = []
+    for dy in (-1, 0, 1):
+        taps = []
+        for dx in (-1, 0, 1):
+            yy = jnp.clip(ys + dy, 0, h_l - 1)
+            xx = jnp.clip(xs + dx, 0, w_l - 1)
+            taps.append(
+                jnp.take(flat_all, (yy * w_l + xx + off_l).reshape(-1))
+            )
+        rows.append(jnp.stack(taps, axis=-1))
+    patches = jnp.stack(rows, axis=-2)               # (L*C, 3, 3)
+
+    rdt = jnp.dtype(config.refine_dtype)
+    patches_b, xs_b, ys_b = jax.lax.optimization_barrier(
+        (patches.astype(rdt), xs.reshape(-1), ys.reshape(-1))
+    )
+    delta_x, delta_y, _ = subpixel2d(patches_b)
+    scale = jnp.repeat(
+        jnp.asarray([g.scale for g in geoms], rdt), c
+    )
+    offset = jnp.repeat(
+        jnp.asarray([g.offset for g in geoms], rdt), c
+    )
+    fx = (scale * ((xs_b.astype(rdt) + delta_x) + offset)).astype(
+        jnp.float32
+    )
+    fy = (scale * ((ys_b.astype(rdt) + delta_y) + offset)).astype(
+        jnp.float32
+    )
+    fx, fy = jax.lax.optimization_barrier((fx, fy))
+
+    n = n_layers * c
+    return KeyPoints(
+        x=fx,
+        y=fy,
+        size=jnp.repeat(
+            jnp.asarray([g.scale * 12.0 for g in geoms], jnp.float32), c
+        ),
+        angle=jnp.full((n,), -1.0, jnp.float32),
+        response=tsc.reshape(-1).astype(jnp.float32),
+        octave=jnp.repeat(
+            jnp.asarray([g.index // 2 for g in geoms], jnp.int32), c
+        ),
+        valid=accept.reshape(-1),
+    )
+
+
 def _refine_layer_keypoints(
     sc: jnp.ndarray,
     xs, ys, top_scores, valid, accept,
@@ -562,6 +678,12 @@ def _refine_layer_keypoints(
             for dx in (-1, 0, 1):
                 yy = jnp.clip(y + dy, 0, h - 1)
                 xx = jnp.clip(x + dx, 0, w - 1)
+                # NOTE: combining the 9 taps into one take LOSES here —
+                # a (K,3,3)-index take lowers to a slow composite gather
+                # (140 ms refine+pack) and even the flattened (K*9,)
+                # form measured 114.5 vs 105.5 ms: at these index
+                # counts gather cost scales with indices, not with op
+                # count (probe_detect_split 2026-08-20).
                 taps.append(jnp.take(flat, yy * w + xx))
             rows.append(jnp.stack(taps, axis=-1))
         return jnp.stack(rows, axis=-2)  # (K, 3y, 3x)

@@ -42,7 +42,10 @@ class BriskFeature:
     max_candidates: "int | tuple" = 4096  # scalar or per-layer
     max_keypoints: int = 4096
     refine_dtype: str = "float32"
-    topk_impl: str = "sort"   # "select" = sort-free exact top-k
+    topk_impl: str = "sort"   # "block"/"select" = exact alternatives
+    # Static per-layer refine-tail budget (None = exact default); see
+    # DetectorConfig.refine_capacity.
+    refine_capacity: "int | tuple | None" = None
     fused_mask: bool = False  # fuse NMS mask into the Pallas pass
     uniformity_block: int = 256  # greedy-uniformity interaction block
     sampler: str = "gather"   # descriptor sampling backend ('patch' = MXU)
@@ -81,6 +84,7 @@ class BriskFeature:
                 max_keypoints=self.max_keypoints,
                 refine_dtype=self.refine_dtype,
                 topk_impl=self.topk_impl,
+                refine_capacity=self.refine_capacity,
                 fused_mask=self.fused_mask,
                 uniformity_block=self.uniformity_block,
             ),

@@ -55,6 +55,14 @@ class VoConfig:
     normalize_exposure: bool = False
     norm_target_mean: float = 128.0
     norm_target_std: float = 48.0
+    # Minimum spatial spread of the RANSAC inlier consensus, as the
+    # inlier bounding-box area fraction of the frame. A consensus
+    # concentrated in a small region is the signature of a coherently-
+    # moving foreground object (e.g. an occluder box) winning the vote
+    # while true-scene matches are depressed (exposure dips) — its
+    # epipolar geometry describes the OBJECT's motion, not the
+    # camera's. 0 disables.
+    min_inlier_spread: float = 0.0
 
 
 @jax.jit
@@ -134,6 +142,19 @@ class VoFrontend:
                 iterations=cfg.refine_iterations,
             )
         ok = n_inl >= cfg.min_inliers
+        if cfg.min_inlier_spread > 0.0:
+            big = jnp.float32(1e9)
+            ix = jnp.where(inl, pa[..., 0], big)
+            iy = jnp.where(inl, pa[..., 1], big)
+            jx = jnp.where(inl, pa[..., 0], -big)
+            jy = jnp.where(inl, pa[..., 1], -big)
+            area = jnp.maximum(jx.max() - ix.min(), 0.0) * jnp.maximum(
+                jy.max() - iy.min(), 0.0
+            )
+            frame_area = jnp.float32(
+                float(self.camera.width) * float(self.camera.height)
+            )
+            ok &= area >= cfg.min_inlier_spread * frame_area
         return r, t, n_inl, ok, inl
 
     def run_sequence(self, frames, key=None, scale_norms=None):

@@ -267,3 +267,101 @@ def test_detect_block_topk_bitwise_equal():
             np.asarray(getattr(kp_sort, f)),
             np.asarray(getattr(kp_block, f)), err_msg=f,
         )
+
+
+def test_fused_refine_bitwise_equals_per_layer():
+    """The cross-layer fused refine tail == the per-layer path, bitwise.
+
+    The fused path engages when every layer shares the compacted
+    capacity; forcing distinct per-layer caps under max_num_kpt selects
+    the per-layer path on the same input for comparison.
+    """
+    rng = np.random.default_rng(9)
+    from scipy import ndimage
+
+    img = ndimage.gaussian_filter(
+        rng.uniform(0, 255, (240, 320)), 1.5
+    ).astype(np.uint8)
+    from ethzasl_brisk_tpu.kernels.harris import harris_score_i32
+
+    base = dict(
+        octaves=2, absolute_threshold=20.0, max_num_kpt=512,
+        uniformity_radius=30.0,
+    )
+    # Equal per-layer caps -> fused tail; per-layer caps staying above
+    # max_num_kpt keep the candidate sets identical, so the only
+    # difference is the refine code path.
+    kp_f = jax.jit(
+        lambda im: detect_keypoints(
+            im, DetectorConfig(**base, max_candidates=2048),
+            harris_score_i32,
+        )
+    )(jnp.asarray(img))
+    import ethzasl_brisk_tpu.detect.scale_space as ss
+    orig = ss._refine_keypoints_fused
+    try:
+        ss._refine_keypoints_fused = None  # force the per-layer branch
+
+        def detect_per_layer(im):
+            cfg = DetectorConfig(**base, max_candidates=2048)
+            n = cfg.n_layers
+            scores, masks = ss.layer_score_masks(im, cfg, harris_score_i32)
+            geoms = [ss.layer_geometry(i) for i in range(n)]
+            cands = [
+                ss._layer_candidates(scores[i], masks[i], cfg,
+                                     cfg.layer_cap(i))
+                for i in range(n)
+            ]
+            accepts = [
+                ss._layer_accept(cands[i], scores[i].shape, cfg)
+                for i in range(n)
+            ]
+            from ethzasl_brisk_tpu.core.keypoints import KeyPoints
+            per = []
+            for i in range(n):
+                xs, ys, tsc, valid, acc = ss.compact_accepted(
+                    *cands[i], accepts[i], cfg
+                )
+                per.append(ss._refine_layer_keypoints(
+                    scores[i], xs, ys, tsc, valid, acc, geoms[i], cfg
+                ))
+            return KeyPoints.concatenate(per)
+
+        kp_p = jax.jit(detect_per_layer)(jnp.asarray(img))
+    finally:
+        ss._refine_keypoints_fused = orig
+    assert int(np.asarray(kp_f.valid).sum()) > 100
+    for f in ("x", "y", "size", "angle", "response", "octave", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kp_f, f)),
+            np.asarray(getattr(kp_p, f)), err_msg=f,
+        )
+
+
+def test_refine_capacity_bitwise_when_counts_fit():
+    """refine_capacity covering every accepted candidate == default
+    (valid keypoints bitwise equal; capacity class like max_candidates)."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (240, 320)).astype(np.float32)
+    sm = ndimage.convolve(base, np.ones((5, 5)) / 25.0, mode="nearest")
+    img = jnp.asarray(np.clip(sm, 0, 255).astype(np.uint8))
+    kw = dict(
+        octaves=2, uniformity_radius=30.0, absolute_threshold=20.0,
+        max_candidates=2048, max_keypoints=512, max_num_kpt=512,
+    )
+    a = jax.jit(lambda im: detect_keypoints(
+        im, DetectorConfig(**kw)))(img)
+    b = jax.jit(lambda im: detect_keypoints(
+        im, DetectorConfig(**kw, refine_capacity=(256, 128, 128, 64)),
+    ))(img)
+    va, vb = np.asarray(a.valid), np.asarray(b.valid)
+    assert va.sum() == vb.sum() and va.sum() > 100, (va.sum(), vb.sum())
+    oa = np.lexsort((np.asarray(a.x)[va], np.asarray(a.y)[va]))
+    ob = np.lexsort((np.asarray(b.x)[vb], np.asarray(b.y)[vb]))
+    for f in ("x", "y", "size", "response", "octave"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f))[va][oa],
+            np.asarray(getattr(b, f))[vb][ob], err_msg=f,
+        )

@@ -108,6 +108,11 @@ def main():
                          "about the gauge-fixed first keyframe)")
     ap.add_argument("--no-refine", action="store_true",
                     help="disable GN relative-pose refinement")
+    ap.add_argument("--min-inlier-spread", type=float, default=0.15,
+                    help="reject relative poses whose RANSAC inlier "
+                         "bounding box covers less than this fraction "
+                         "of the frame area (coherent-foreground/"
+                         "occluder consensus; 0 disables)")
     ap.add_argument("--no-normalize-exposure", action="store_true",
                     help="disable per-frame photometric normalization "
                          "(on by default: stabilizes detection under "
@@ -164,6 +169,7 @@ def main():
         config=VoConfig(
             refine_iterations=0 if args.no_refine else 10,
             normalize_exposure=not args.no_normalize_exposure,
+            min_inlier_spread=args.min_inlier_spread,
         ),
     )
 
