@@ -61,11 +61,19 @@ def main() -> None:
     from ethzasl_brisk_tpu.parallel import FramePipeline, make_mesh
     from ethzasl_brisk_tpu.pipeline import BriskFeature
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # Batch sweep 2026-08-20 (after the refine-cap/describe cost cuts):
+    # 32 -> 162.6, 64 -> 209.1, 96 -> 228.9, 128 -> 240.6, 192 ->
+    # 226.7 fps; 256 OOMs the 1 MB smem (the Pallas sampler's scalar-
+    # prefetch anchor arrays scale with batch*describe_capacity).
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "12"))
 
     if os.environ.get("BENCH_PIPELINE", "harris") == "ast":
-        return main_ast(batch, iters)
+        # The AST pipeline's dense per-layer score/cache maps do not
+        # fit HBM at batch 128 (15.9/15.75 GB); 64 is its ceiling.
+        return main_ast(
+            int(os.environ.get("BENCH_BATCH", "64")), iters
+        )
 
     # Per-layer candidate caps: per-candidate cost (uniformity, refine,
     # top_k's k) scales with the slot total, and bench-frame maxima at
@@ -100,6 +108,7 @@ def main() -> None:
         # measured SLOWER e2e (45.2 vs 51.2 fps) despite the standalone
         # top_k win — launch-latency-bound.
         topk_impl=os.environ.get("BENCH_TOPK", "block"),
+        uniformity_block=int(os.environ.get("BENCH_UNIBLOCK", "256")),
         # Refine-tail slots (gather cost ~ slots; accepted counts on
         # the bench frames are ~317/137/87/50 per layer -> 2.4-2.9x
         # headroom, certified below). "0" disables.
@@ -156,6 +165,11 @@ def main() -> None:
                             r=cfg.topk_block_r,
                         )
                         ok &= ex
+                    # Candidate caps: every maximum must fit the layer
+                    # capacity (overflow silently drops the weakest).
+                    ok &= (
+                        jnp.sum(m.astype(jnp.int32)) <= cfg.layer_cap(i)
+                    )
                     rc = cfg.refine_cap(i)
                     if rc is not None:
                         c = _layer_candidates(sc, m, cfg,
@@ -491,9 +505,11 @@ def main_ast(batch: int, iters: int) -> None:
     # Per-layer candidate caps: detect cost scales ~linearly with the
     # slot total (probe_ast_caps r4: 2048/layer = 1389 ms/b16, 512 =
     # 443). Bench-frame corner counts at thr=70 are (346, 276, 231,
-    # 110, 65, 30) max — these caps keep ~3x headroom per layer.
-    # BENCH_AST_CANDS accepts an int or a comma list.
-    cands_env = os.environ.get("BENCH_AST_CANDS", "1024,768,640,384,256,128")
+    # 110, 65, 30) max — these caps keep ~2.1x headroom per layer
+    # (31.2 -> 38.3 fps over the previous 1024..128 set, identical
+    # keypoints; the corner counts are certified on the bench frames
+    # below). BENCH_AST_CANDS accepts an int or a comma list.
+    cands_env = os.environ.get("BENCH_AST_CANDS", "768,576,512,256,128,64")
     cands = (
         tuple(int(c) for c in cands_env.split(","))
         if "," in cands_env else int(cands_env)
@@ -515,6 +531,37 @@ def main_ast(batch: int, iters: int) -> None:
         ),
     )
     frames = jnp.asarray(bench_frames(batch))
+
+    if isinstance(detector.max_candidates_per_layer, tuple):
+        # Certify the per-layer candidate caps on THESE frames: every
+        # corner must fit its layer's slot capacity (overflow silently
+        # truncates — ast_scale_space docs).
+        from ethzasl_brisk_tpu.detect.ast_scale_space import (
+            build_ast_pyramid,
+        )
+
+        caps_t = detector.max_candidates_per_layer
+
+        def _ast_flags(fr):
+            def one(img):
+                layers = build_ast_pyramid(
+                    img, detector.octaves, detector.threshold
+                )
+                ok = jnp.bool_(True)
+                for layer, cap in zip(layers, caps_t):
+                    ok &= (
+                        jnp.sum(layer.corner.astype(jnp.int32)) <= cap
+                    )
+                return ok
+
+            return jnp.all(jax.vmap(one)(fr))
+
+        assert bool(np.asarray(jax.jit(_ast_flags)(frames))), (
+            "AST per-layer candidate caps overflow on bench frames — "
+            "raise BENCH_AST_CANDS"
+        )
+        print("ast candidate caps certified on bench frames",
+              file=sys.stderr)
 
     # Backend burn-in with a SEPARATE small executable: the first timed
     # region in a process reads up to 2x slow through the tunnel even

@@ -231,6 +231,58 @@ def center_ge_warped(
     )
 
 
+def _max3x3_pair(
+    w_hi: jnp.ndarray, w_lo: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Separable 3x3 maximum of the split warp pair (0-filled borders).
+
+    The warp pair as produced by warp_scores_split is NOT canonical:
+    w_lo = bilerp(s_lo) ranges over (-d^2*2^15, d^2*2^15) (border
+    extrapolation has negative weights), so comparing (w_hi, w_lo)
+    lexicographically misorders W = w_hi*2^15 + w_lo (this exact bug
+    shifted the bench detection set while every CPU test passed —
+    2026-08-20). Canonicalizing first — carry = w_lo >> 15 (arithmetic
+    = floor), hi += carry, lo &= 0x7FFF — makes the pair the true
+    floor/remainder of W, whose lex order IS numeric order; the carry
+    keeps hi well inside int32 (|W| <= 4*d^2*2^30 -> |hi| <= d^2*2^17).
+    Then the pairwise max encodes max(W) without materializing W, which
+    collapses the 9 shifted above-layer compares into ONE: AND over
+    dy,dx of (center >= W(x+dx, y+dy)) == center >= max3x3(W), with
+    the same 0-fill at the borders as the shifted compares
+    (out-of-image probes read 0). ~2x fewer full-map passes (warp
+    compares 59.7 -> 47.0 ms of the masks stage at batch 128).
+    """
+    carry = w_lo >> 15
+    w_hi = w_hi + carry
+    w_lo = w_lo & 0x7FFF
+
+    def pmax(h1, l1, h2, l2):
+        take1 = (h1 > h2) | ((h1 == h2) & (l1 >= l2))
+        return jnp.where(take1, h1, h2), jnp.where(take1, l1, l2)
+
+    for axis in (1, 0):
+        dy0, dx0 = (0, 1) if axis == 1 else (1, 0)
+        hm, lm = pmax(
+            w_hi, w_lo,
+            _shift2d(w_hi, -dy0, -dx0, 0), _shift2d(w_lo, -dy0, -dx0, 0),
+        )
+        w_hi, w_lo = pmax(
+            hm, lm,
+            _shift2d(w_hi, dy0, dx0, 0), _shift2d(w_lo, dy0, dx0, 0),
+        )
+    return w_hi, w_lo
+
+
+def _max3x3_f32(wf: jnp.ndarray) -> jnp.ndarray:
+    """Separable 3x3 maximum with 0-filled borders (float warp path)."""
+    for dy0, dx0 in ((0, 1), (1, 0)):
+        wf = jnp.maximum(
+            jnp.maximum(wf, _shift2d(wf, -dy0, -dx0, 0.0)),
+            _shift2d(wf, dy0, dx0, 0.0),
+        )
+    return wf
+
+
 def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
     """out[y, x] = x[y+dy, x+dx], `fill` outside."""
     h, w = x.shape
@@ -393,21 +445,16 @@ def layer_score_masks(
             a, b, d = geoms[i].above_map
             if is_float:
                 wf = warp_scores_f32(scores[i + 1], (a, b, d), (h, w))
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        mask &= sc >= _shift2d(wf, dy, dx, 0.0)
+                mask &= sc >= _max3x3_f32(wf)
             else:
                 w_hi, w_lo = warp_scores_split(
                     scores[i + 1], (a, b, d), (h, w)
                 )
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        mask &= center_ge_warped(
-                            sc,
-                            _shift2d(w_hi, dy, dx, 0),
-                            _shift2d(w_lo, dy, dx, 0),
-                            d,
-                        )
+                # One compare vs the 3x3 max of the pair-encoded warp
+                # (exactly the AND of the 9 shifted compares —
+                # _max3x3_pair docs).
+                mh, ml = _max3x3_pair(w_hi, w_lo)
+                mask &= center_ge_warped(sc, mh, ml, d)
         if i > 0:
             # Check below: one_over_scale_below truncates to 0, so all 9
             # probes collapse to the single center sample.

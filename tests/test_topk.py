@@ -365,3 +365,65 @@ def test_refine_capacity_bitwise_when_counts_fit():
             np.asarray(getattr(a, f))[va][oa],
             np.asarray(getattr(b, f))[vb][ob], err_msg=f,
         )
+
+
+def test_max3x3_pair_collapse_equals_nine_compares():
+    """center >= max3x3(W) (canonicalized pair) == AND of the 9 shifted
+    center_ge_warped compares, on real warp pairs incl. negative scores
+    and border extrapolation (the non-canonical-pair misorder bug)."""
+    from ethzasl_brisk_tpu.detect.scale_space import (
+        _max3x3_pair,
+        _shift2d,
+        center_ge_warped,
+        layer_geometry,
+        warp_scores_split,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w = 96, 128
+    geom = layer_geometry(0)
+    a, b, d = geom.above_map
+    sh, sw = 2 * h // 3, 2 * w // 3 + 1
+    for trial in range(3):
+        src = jnp.asarray(rng.integers(
+            -2**29, 2**29, (sh, sw), dtype=np.int64).astype(np.int32))
+        sc = jnp.asarray(rng.integers(
+            -2**29, 2**29, (h, w), dtype=np.int64).astype(np.int32))
+        w_hi, w_lo = warp_scores_split(src, (a, b, d), (h, w))
+        ref = jnp.ones((h, w), bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ref &= center_ge_warped(
+                    sc, _shift2d(w_hi, dy, dx, 0),
+                    _shift2d(w_lo, dy, dx, 0), d,
+                )
+        mh, ml = _max3x3_pair(w_hi, w_lo)
+        got = center_ge_warped(sc, mh, ml, d)
+        np.testing.assert_array_equal(
+            np.asarray(ref), np.asarray(got), err_msg=f"trial {trial}"
+        )
+
+    # Sharp check vs an int64 ground truth on adversarial pairs (hi/lo
+    # drawn independently over the real bilerp ranges, where the
+    # UNCANONICAL lex max misorders; random warp pairs above rarely
+    # trigger it but the bench frames did).
+    for dd in (2, 4, 16):
+        hi = rng.integers(-dd * dd * 4, dd * dd * 4, (h, w)).astype(
+            np.int32
+        )
+        lo = rng.integers(
+            -(dd * dd) * 2**15 + 1, (dd * dd) * 2**15, (h, w)
+        ).astype(np.int32)
+        wv = hi.astype(np.int64) * 2**15 + lo.astype(np.int64)
+        wp = np.zeros((h + 2, w + 2), np.int64)
+        wp[1:-1, 1:-1] = wv
+        ref64 = np.max(
+            np.lib.stride_tricks.sliding_window_view(wp, (3, 3)),
+            axis=(2, 3),
+        )
+        mh, ml = _max3x3_pair(jnp.asarray(hi), jnp.asarray(lo))
+        got64 = (
+            np.asarray(mh).astype(np.int64) * 2**15
+            + np.asarray(ml).astype(np.int64)
+        )
+        np.testing.assert_array_equal(got64, ref64, err_msg=f"d={dd}")

@@ -26,6 +26,8 @@ sys.path[:0] = [_ROOT, os.path.join(_ROOT, "tools")]
 
 def main():
     topk = sys.argv[1] if len(sys.argv) > 1 else "block"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    refine_cap = (768, 384, 256, 128) if "--caps" in sys.argv else None
 
     import jax
     import jax.numpy as jnp
@@ -43,17 +45,47 @@ def main():
     feature = BriskFeature(
         octaves=2, uniformity_radius=30.0, absolute_threshold=20.0,
         max_candidates=(8192, 4096, 2048, 1024), max_keypoints=1024,
-        topk_impl=topk,
+        topk_impl=topk, refine_capacity=refine_cap,
     )
     cfg = feature.config
-    frames = jnp.asarray(bench.bench_frames(64))
-    print("devices", jax.devices(), "topk", topk, flush=True)
+    frames = jnp.asarray(bench.bench_frames(batch))
+    print("devices", jax.devices(), "topk", topk, "batch", batch,
+          "caps", refine_cap, flush=True)
     burn_in(4.0)
 
     def a_masks(fr):
         def one(img):
             scores, masks = layer_score_masks(img, cfg)
             return masks
+
+        return jax.vmap(one)(fr)
+
+    def a0_scores(fr):
+        from ethzasl_brisk_tpu.detect.scale_space import build_pyramid
+        from ethzasl_brisk_tpu.kernels.pallas_harris import (
+            harris_score_i32_fused,
+        )
+
+        def one(img):
+            pyr = build_pyramid(img, cfg.n_layers)
+            return [harris_score_i32_fused(p) for p in pyr]
+
+        return jax.vmap(one)(fr)
+
+    def a1_nms(fr):
+        from ethzasl_brisk_tpu.detect.scale_space import build_pyramid
+        from ethzasl_brisk_tpu.kernels.nms import maxima2d_mask
+        from ethzasl_brisk_tpu.kernels.pallas_harris import (
+            harris_score_i32_fused,
+        )
+
+        def one(img):
+            pyr = build_pyramid(img, cfg.n_layers)
+            scores = [harris_score_i32_fused(p) for p in pyr]
+            return [
+                maxima2d_mask(s, int(cfg.absolute_threshold))
+                for s in scores
+            ]
 
         return jax.vmap(one)(fr)
 
@@ -141,6 +173,14 @@ def main():
 
     import jax.numpy as jnp  # noqa: F811 (used by f_gather closures)
 
+    if "--masks" in sys.argv:
+        t0 = timed("A0 pyramid+scores", a0_scores, frames)
+        t1 = timed("A1 +nms mask", a1_nms, frames)
+        t2 = timed("A2 +warp compares", a_masks, frames)
+        print(f"masks split: scores {t0*1e3:.1f}  nms "
+              f"{(t1-t0)*1e3:.1f}  warps {(t2-t1)*1e3:.1f}", flush=True)
+        return
+
     ta = timed("A scores+masks", a_masks, frames)
     tb = timed("B +candidates (topk)", b_cands, frames)
     tc = timed("C +accepts (uniformity)", c_accepts, frames)
@@ -150,7 +190,7 @@ def main():
     print(f"split: masks {ta*1e3:.1f}  topk {(tb-ta)*1e3:.1f}  "
           f"uniformity {(tc-tb)*1e3:.1f}  compact {(te-tc)*1e3:.1f}  "
           f"gather {(tf-te)*1e3:.1f}  refine+pack {(td-tf)*1e3:.1f}  "
-          f"total {td*1e3:.1f} ms/batch64", flush=True)
+          f"total {td*1e3:.1f} ms/batch{batch}", flush=True)
 
 
 if __name__ == "__main__":
