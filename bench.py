@@ -108,6 +108,8 @@ def main() -> None:
         # measured SLOWER e2e (45.2 vs 51.2 fps) despite the standalone
         # top_k win — launch-latency-bound.
         topk_impl=os.environ.get("BENCH_TOPK", "block"),
+        topk_block_size=int(os.environ.get("BENCH_TOPK_BLOCK", "2048")),
+        topk_block_r=int(os.environ.get("BENCH_TOPK_R", "256")),
         uniformity_block=int(os.environ.get("BENCH_UNIBLOCK", "256")),
         # Refine-tail slots (gather cost ~ slots; accepted counts on
         # the bench frames are ~317/137/87/50 per layer -> 2.4-2.9x

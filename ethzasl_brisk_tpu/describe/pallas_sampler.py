@@ -178,7 +178,10 @@ def _bucket_branch(
             rows_out += [zero, zero]  # pad the 8-sublane output tile
             taps_ref[j] = jnp.stack(rows_out, axis=0)
 
-        jax.lax.fori_loop(0, g, body, None, unroll=False)
+        # Unrolled: the per-keypoint compute chains are independent, so
+        # unrolling lets Mosaic overlap them (describe 121.5 -> 119.3
+        # ms/batch64 — probe_describe_split 2026-08-20).
+        jax.lax.fori_loop(0, g, body, None, unroll=True)
 
 
 @functools.partial(

@@ -43,6 +43,8 @@ class BriskFeature:
     max_keypoints: int = 4096
     refine_dtype: str = "float32"
     topk_impl: str = "sort"   # "block"/"select" = exact alternatives
+    topk_block_size: int = 2048
+    topk_block_r: int = 256
     # Static per-layer refine-tail budget (None = exact default); see
     # DetectorConfig.refine_capacity.
     refine_capacity: "int | tuple | None" = None
@@ -84,6 +86,8 @@ class BriskFeature:
                 max_keypoints=self.max_keypoints,
                 refine_dtype=self.refine_dtype,
                 topk_impl=self.topk_impl,
+                topk_block_size=self.topk_block_size,
+                topk_block_r=self.topk_block_r,
                 refine_capacity=self.refine_capacity,
                 fused_mask=self.fused_mask,
                 uniformity_block=self.uniformity_block,

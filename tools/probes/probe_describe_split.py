@@ -87,6 +87,11 @@ def main():
     pat_x0 = pat.lut_x[scale_idx, 0]
     pat_y0 = pat.lut_y[scale_idx, 0]
     sizes = ((32, 128), (64, 128), (128, 128))
+    if "--ladder" in sys.argv:
+        # Span-tuned bucket ladder: bench keypoint row spans are
+        # scale-quantized at {40, 56, 72, 80, 111} (54/12/11/15/8%),
+        # so the default 32-bucket is EMPTY and 22% pay the catch-all.
+        sizes = ((48, 128), (64, 128), (88, 128), (128, 128))
 
     burn_in(4.0)
 

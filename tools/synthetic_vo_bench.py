@@ -69,6 +69,11 @@ def main():
                     help="per-frame photometric normalization before "
                          "detection (VoConfig.normalize_exposure)")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--seed", type=int, default=11,
+                    help="texture/occluder RNG seed (trajectory fixed); "
+                         "the 200-frame ATE is chaotic under small "
+                         "detector changes, so robustness claims need "
+                         "several seeds — NOTES r4")
     ap.add_argument("--export", default=None,
                     help="write frames as PGM + KITTI poses.txt to DIR "
                          "(for tools/kitti_eval.py keyframed+BA runs) "
@@ -90,7 +95,7 @@ def main():
     from ethzasl_brisk_tpu.vo import VoConfig, VoFrontend
     from ethzasl_brisk_tpu.vo.evaluate import ate_rmse, rpe
 
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(args.seed)
     tex = make_texture(rng)
     cam = PinholeCamera.create(400.0, 400.0, 320.0, 240.0, 640, 480)
     poses = trajectory(args.frames)
