@@ -84,8 +84,14 @@ def main() -> None:
         tuple(int(c) for c in cands_env.split(","))
         if "," in cands_env else int(cands_env)
     )
+    octaves = int(os.environ.get("BENCH_OCTAVES", "2"))
+    if isinstance(cands, tuple) and len(cands) != max(octaves * 2, 1):
+        # The per-layer default tuples are sized for octaves=2; a
+        # different BENCH_OCTAVES without matching lists falls back to
+        # the uniform maximum.
+        cands = max(cands)
     feature = BriskFeature(
-        octaves=int(os.environ.get("BENCH_OCTAVES", "2")),
+        octaves=octaves,
         uniformity_radius=float(os.environ.get("BENCH_URADIUS", "30")),
         absolute_threshold=float(os.environ.get("BENCH_THRESHOLD", "20")),
         max_candidates=cands,
@@ -113,10 +119,12 @@ def main() -> None:
         uniformity_block=int(os.environ.get("BENCH_UNIBLOCK", "256")),
         # Refine-tail slots (gather cost ~ slots; accepted counts on
         # the bench frames are ~317/137/87/50 per layer -> 2.4-2.9x
-        # headroom, certified below). "0" disables.
+        # headroom, certified below). "0" disables; a default tuple
+        # only applies at its octaves=2 layer count.
         refine_capacity=(
             None
             if os.environ.get("BENCH_REFINE_CAP", "") == "0"
+            or (octaves != 2 and "BENCH_REFINE_CAP" not in os.environ)
             else tuple(
                 int(c) for c in os.environ.get(
                     "BENCH_REFINE_CAP", "768,384,256,128"

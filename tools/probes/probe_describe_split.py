@@ -95,11 +95,16 @@ def main():
 
     burn_in(4.0)
 
+    group = 8
+    for a in sys.argv:
+        if a.startswith("--g"):
+            group = int(a[3:])
+
     def one_phase(int_f, kx, ky, px, py, sg, sc, sc2, rb, stop):
         return smoothed_intensity_patch_pallas(
             None, int_f, kx, ky, px, py, sg, sc, sc2,
             patch_sizes=sizes, row_base=rb, frame_rows=h,
-            debug_stop=stop,
+            group=group, debug_stop=stop,
         )
 
     args = (int_flat, ckp.x, ckp.y, pat_x0, pat_y0, sigma, scaling,
