@@ -210,10 +210,10 @@ def smoothed_intensity_patch_pallas(
     """Drop-in for smoothed_intensity_patch_ms (bit-identical values).
 
     ``debug_stop`` truncates the computation for stage cost probes
-    (tools/probes/probe_describe_split.py): "prep" returns the packed
-    kernel inputs (host-XLA bucket/sort/index prep only), "taps" the
-    raw kernel output before unsort + tap weighting. Production callers
-    leave it None.
+    (tools/probes/probe_describe_split.py): "geom" returns after tap
+    geometry + bucket assignment, "prep" after the packed kernel
+    inputs (host-XLA index packing), "taps" the raw kernel output
+    before unsort + tap weighting. Production callers leave it None.
     """
     rows_i, cols_i = integral.shape
     frame_rows_i = rows_i if frame_rows is None else frame_rows + 1

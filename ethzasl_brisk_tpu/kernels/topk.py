@@ -167,6 +167,7 @@ def topk_block(
     """
     n = x.size
     nb = (n + block - 1) // block
+    r = min(r, block)
     # Small maps (or k beyond the survivor count): no reduction is
     # possible — plain top_k, trivially exact.
     if k >= n or n <= block or nb * r <= k:
