@@ -133,9 +133,13 @@ def main() -> None:
         ),
         fused_mask=bool(os.environ.get("BENCH_FUSED_MASK")),
         # Valid-compaction describe budget per frame (sampler cost is
-        # per-SLOT; bench frames fill ~450 of 1024 slots). 640 gives
-        # ~40% headroom over the measured max occupancy.
-        describe_capacity=int(os.environ.get("BENCH_DESCRIBE_CAP", "640")),
+        # per-SLOT; bench frames describe ~441/frame after the border
+        # filter). 480 keeps ~9% headroom over the TRUE batch-total
+        # describable count, which the certification below verifies
+        # device-side before every timed run (512 was measured 253 fps
+        # at cap 576 and the conservative accepted-count bound caught
+        # 512 before the cert switched to the true described count).
+        describe_capacity=int(os.environ.get("BENCH_DESCRIBE_CAP", "480")),
     )
     mesh = make_mesh(1, 1)
     pipe = FramePipeline(feature=feature, mesh=mesh)
@@ -146,7 +150,11 @@ def main() -> None:
 
     frames = jnp.asarray(bench_frames(batch))
 
-    if feature.topk_impl == "block" or feature.refine_capacity:
+    if (
+        feature.topk_impl == "block"
+        or feature.refine_capacity
+        or feature.describe_capacity
+    ):
         # One-off certification that the capacity-classed backends are
         # exact on THESE frames: (a) the two-stage block top-k (device
         # flag: no block held > topk_block_r candidates at/above the
@@ -162,7 +170,7 @@ def main() -> None:
 
         cfg = feature.config
 
-        def _flags(fr):
+        def _flags(fr, size_list_arg):
             def one(img):
                 scores, masks = layer_score_masks(img, cfg)
                 ok = jnp.bool_(True)
@@ -188,15 +196,45 @@ def main() -> None:
                         ok &= jnp.sum(a.astype(jnp.int32)) <= rc
                 return ok
 
-            return jnp.all(jax.vmap(one)(fr))
+            ok_all = jnp.all(jax.vmap(one)(fr))
+            if feature.describe_capacity:
+                # Describe valid-compaction budget: the batch's TOTAL
+                # DESCRIBABLE keypoints (valid AND inside the pattern
+                # border — the same RoiPredicate filter _describe_core
+                # applies) must fit batch*describe_capacity; overflow
+                # would silently drop the flat-order tail.
+                from ethzasl_brisk_tpu.describe.extractor import (
+                    scale_index,
+                )
 
-        assert bool(np.asarray(jax.jit(_flags)(frames))), (
-            "block top-k or refine caps inexact on bench frames — "
-            "raise topk_block_r / BENCH_REFINE_CAP or disable "
-            "(BENCH_TOPK=sort, BENCH_REFINE_CAP=0)"
+                def described(frs, size_list):
+                    det = jax.vmap(feature.detect)(frs)
+                    si = scale_index(det.size, feature.scale_invariant)
+                    bf = size_list[si].astype(jnp.float32)
+                    hh, ww = frs.shape[1:]
+                    inside = (
+                        det.valid
+                        & (det.x >= bf) & (det.x < ww - bf)
+                        & (det.y >= bf) & (det.y < hh - bf)
+                    )
+                    return jnp.sum(inside.astype(jnp.int32))
+
+                n_desc = described(fr, size_list_arg)
+                ok_all &= n_desc <= (
+                    feature.describe_capacity * fr.shape[0]
+                )
+            return ok_all
+
+        assert bool(np.asarray(jax.jit(_flags)(
+            frames, feature.extractor.pattern.size_list
+        ))), (
+            "block top-k, refine caps, or describe capacity inexact "
+            "on bench frames — raise topk_block_r / BENCH_REFINE_CAP "
+            "/ BENCH_DESCRIBE_CAP or disable (BENCH_TOPK=sort, "
+            "BENCH_REFINE_CAP=0)"
         )
-        print("topk block + refine caps certified exact on bench "
-              "frames", file=sys.stderr)
+        print("topk block + refine/describe caps certified exact on "
+              "bench frames", file=sys.stderr)
 
     # Backend burn-in with a SEPARATE small executable: the first timed
     # region in a process reads up to 2x slow through the tunnel even

@@ -721,7 +721,22 @@ def extract_descriptors_compact(
     flat_kp = jax.tree_util.tree_map(
         lambda a: a.reshape((n,) + a.shape[2:]), keypoints
     )
-    order = jnp.argsort(~flat_kp.valid, stable=True)  # valid first
+    # Compact DESCRIBABLE keypoints only: keypoints outside the pattern
+    # border get valid=False from _describe_core's RoiPredicate filter
+    # regardless (brisk-descriptor-extractor.cc:532-536), so spending
+    # capacity slots on them only inflates the budget the capacity must
+    # cover (~580 detect-valid vs ~441 describable per bench frame).
+    # Applying the same border test BEFORE compaction is value-neutral
+    # for every described keypoint and lets `capacity` track the
+    # describable population.
+    scale_idx_c = scale_index(flat_kp.size, scale_invariant)
+    bf_c = pat.size_list[scale_idx_c].astype(jnp.float32)
+    describable = (
+        flat_kp.valid
+        & (flat_kp.x >= bf_c) & (flat_kp.x < w - bf_c)
+        & (flat_kp.y >= bf_c) & (flat_kp.y < h - bf_c)
+    )
+    order = jnp.argsort(~describable, stable=True)  # describable first
     sel = order[:capacity]
     comp_kp = jax.tree_util.tree_map(
         lambda a: jnp.take(a, sel, axis=0), flat_kp
