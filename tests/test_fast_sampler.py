@@ -342,3 +342,72 @@ class TestPallasSampler:
             interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestBorderAwareCompaction:
+    """Capacity budget counts DESCRIBABLE keypoints only: valid
+    keypoints outside the pattern border (which describe invalidates
+    regardless) must not consume compaction slots. Regression for the
+    silent whole-frame drop when capacity covered the describable
+    population but compaction still spent slots on border rejects
+    (bench keypoints/frame min=0, 2026-08-20)."""
+
+    def test_capacity_counts_describable_only(self):
+        import jax.numpy as jnp
+
+        from ethzasl_brisk_tpu.core.keypoints import KeyPoints
+        from ethzasl_brisk_tpu.describe.extractor import (
+            BriskExtractor,
+            extract_descriptors_batch,
+            extract_descriptors_compact,
+        )
+        from scipy import ndimage
+
+        rng = np.random.default_rng(7)
+        b, k = 3, 48
+        base = rng.integers(0, 256, (b, 120, 160)).astype(np.float32)
+        imgs = np.clip(
+            ndimage.convolve(base, np.ones((1, 5, 5)) / 25.0,
+                             mode="nearest"), 0, 255
+        ).astype(np.uint8)
+        # Half the keypoints sit INSIDE the border margin, half within
+        # a few px of the edge (outside the ~23 px pattern border for
+        # size 12): all are detect-valid, only the inner ones are
+        # describable.
+        x = np.where(
+            np.arange(k)[None, :] % 2 == 0,
+            rng.uniform(30, 130, (b, k)),
+            rng.uniform(1, 8, (b, k)),
+        ).astype(np.float32)
+        y = rng.uniform(30, 90, (b, k)).astype(np.float32)
+        kps = KeyPoints(
+            x=jnp.asarray(x), y=jnp.asarray(y),
+            size=jnp.full((b, k), 12.0, jnp.float32),
+            angle=jnp.full((b, k), -1.0, jnp.float32),
+            response=jnp.asarray(
+                rng.uniform(1, 9, (b, k)).astype(np.float32)
+            ),
+            octave=jnp.zeros((b, k), jnp.int32),
+            valid=jnp.ones((b, k), bool),
+        )
+        ext = BriskExtractor()
+        pat = ext.pattern
+        ref_kp, ref_desc = extract_descriptors_batch(
+            pat, jnp.asarray(imgs), kps, skip_small=ext.skip_small
+        )
+        n_desc = int(np.asarray(ref_kp.valid).sum())
+        assert 0 < n_desc < b * k // 2 + b  # border half rejected
+        # Capacity = exactly the describable count: every described
+        # keypoint must survive even though detect-valid count (b*k)
+        # far exceeds it.
+        got_kp, got_desc = extract_descriptors_compact(
+            pat, jnp.asarray(imgs), kps, capacity=n_desc,
+            skip_small=ext.skip_small,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_kp.valid), np.asarray(ref_kp.valid)
+        )
+        m = np.asarray(ref_kp.valid)
+        np.testing.assert_array_equal(
+            np.asarray(got_desc)[m], np.asarray(ref_desc)[m]
+        )
