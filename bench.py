@@ -156,77 +156,37 @@ def main() -> None:
         or feature.describe_capacity
     ):
         # One-off certification that the capacity-classed backends are
-        # exact on THESE frames: (a) the two-stage block top-k (device
-        # flag: no block held > topk_block_r candidates at/above the
-        # k-th value), (b) the refine-tail caps (per-layer accepted
-        # count <= refine_capacity[i]). The timed pipeline then runs
+        # exact on THESE frames, via the library diagnostics API
+        # (detect_with_diagnostics covers the block-top-k sharp flag,
+        # the per-layer candidate caps and the refine-tail caps;
+        # extract_descriptors_compact(with_diagnostics=True) returns
+        # the batch describable count). The timed pipeline then runs
         # the same backends.
-        from ethzasl_brisk_tpu.detect.scale_space import (
-            _layer_accept,
-            _layer_candidates,
-            layer_score_masks,
+        from ethzasl_brisk_tpu.describe.extractor import (
+            extract_descriptors_compact,
         )
-        from ethzasl_brisk_tpu.kernels.topk import INT32_MIN, topk_block
 
-        cfg = feature.config
-
-        def _flags(fr, size_list_arg):
-            def one(img):
-                scores, masks = layer_score_masks(img, cfg)
-                ok = jnp.bool_(True)
-                for i, (sc, m) in enumerate(zip(scores, masks)):
-                    if feature.topk_impl == "block":
-                        x = jnp.where(m, sc, INT32_MIN).reshape(-1)
-                        _, _, ex = topk_block(
-                            x, min(cfg.layer_cap(i), x.size),
-                            block=cfg.topk_block_size,
-                            r=cfg.topk_block_r,
-                        )
-                        ok &= ex
-                    # Candidate caps: every maximum must fit the layer
-                    # capacity (overflow silently drops the weakest).
-                    ok &= (
-                        jnp.sum(m.astype(jnp.int32)) <= cfg.layer_cap(i)
-                    )
-                    rc = cfg.refine_cap(i)
-                    if rc is not None:
-                        c = _layer_candidates(sc, m, cfg,
-                                              cfg.layer_cap(i))
-                        a = _layer_accept(c, sc.shape, cfg)
-                        ok &= jnp.sum(a.astype(jnp.int32)) <= rc
-                return ok
-
-            ok_all = jnp.all(jax.vmap(one)(fr))
+        def _flags(pat, fr):
+            kps, diags = jax.vmap(feature.detect_with_diagnostics)(fr)
+            ok_all = jnp.all(diags.ok)
             if feature.describe_capacity:
-                # Describe valid-compaction budget: the batch's TOTAL
-                # DESCRIBABLE keypoints (valid AND inside the pattern
-                # border — the same RoiPredicate filter _describe_core
-                # applies) must fit batch*describe_capacity; overflow
-                # would silently drop the flat-order tail.
-                from ethzasl_brisk_tpu.describe.extractor import (
-                    scale_index,
+                _, _, n_desc = extract_descriptors_compact(
+                    pat, fr, kps,
+                    capacity=feature.describe_capacity * fr.shape[0],
+                    rotation_invariant=feature.rotation_invariant,
+                    scale_invariant=feature.scale_invariant,
+                    sampler=feature.sampler,
+                    patch_h=feature.patch_h,
+                    patch_w=feature.patch_w,
+                    with_diagnostics=True,
                 )
-
-                def described(frs, size_list):
-                    det = jax.vmap(feature.detect)(frs)
-                    si = scale_index(det.size, feature.scale_invariant)
-                    bf = size_list[si].astype(jnp.float32)
-                    hh, ww = frs.shape[1:]
-                    inside = (
-                        det.valid
-                        & (det.x >= bf) & (det.x < ww - bf)
-                        & (det.y >= bf) & (det.y < hh - bf)
-                    )
-                    return jnp.sum(inside.astype(jnp.int32))
-
-                n_desc = described(fr, size_list_arg)
                 ok_all &= n_desc <= (
                     feature.describe_capacity * fr.shape[0]
                 )
             return ok_all
 
         assert bool(np.asarray(jax.jit(_flags)(
-            frames, feature.extractor.pattern.size_list
+            feature.extractor.pattern, frames
         ))), (
             "block top-k, refine caps, or describe capacity inexact "
             "on bench frames — raise topk_block_r / BENCH_REFINE_CAP "
@@ -567,6 +527,10 @@ def main_ast(batch: int, iters: int) -> None:
         octaves=int(os.environ.get("BENCH_AST_OCTAVES", "3")),
         max_candidates_per_layer=cands,
         raw_cache_model="emulated",
+        # "dense" = whole-map decisions + one final gather
+        # (detect/ast_dense.py), bitwise-equal to the candidate path
+        # (tests/test_ast_dense.py).
+        detect_impl=os.environ.get("BENCH_AST_IMPL", "candidates"),
     )
     mesh = make_mesh(1, 1)
     pipe = AstFramePipeline(
@@ -581,28 +545,21 @@ def main_ast(batch: int, iters: int) -> None:
     frames = jnp.asarray(bench_frames(batch))
 
     if isinstance(detector.max_candidates_per_layer, tuple):
-        # Certify the per-layer candidate caps on THESE frames: every
-        # corner must fit its layer's slot capacity (overflow silently
-        # truncates — ast_scale_space docs).
+        # Certify the per-layer candidate caps on THESE frames via the
+        # library diagnostics API (overflow silently truncates —
+        # ast_scale_space docs).
         from ethzasl_brisk_tpu.detect.ast_scale_space import (
-            build_ast_pyramid,
+            ast_capacity_diagnostics,
         )
 
-        caps_t = detector.max_candidates_per_layer
-
         def _ast_flags(fr):
-            def one(img):
-                layers = build_ast_pyramid(
-                    img, detector.octaves, detector.threshold
+            diags = jax.vmap(
+                lambda im: ast_capacity_diagnostics(
+                    im, detector.threshold, detector.octaves,
+                    detector.max_candidates_per_layer,
                 )
-                ok = jnp.bool_(True)
-                for layer, cap in zip(layers, caps_t):
-                    ok &= (
-                        jnp.sum(layer.corner.astype(jnp.int32)) <= cap
-                    )
-                return ok
-
-            return jnp.all(jax.vmap(one)(fr))
+            )(fr)
+            return jnp.all(diags.ok)
 
         assert bool(np.asarray(jax.jit(_ast_flags)(frames))), (
             "AST per-layer candidate caps overflow on bench frames — "

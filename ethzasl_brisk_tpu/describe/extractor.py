@@ -680,6 +680,7 @@ def extract_descriptors_batch(
     static_argnames=(
         "capacity", "rotation_invariant", "scale_invariant", "sampler",
         "patch_h", "patch_w", "skip_small", "angle_exact", "v1_rounding",
+        "with_diagnostics",
     ),
 )
 def extract_descriptors_compact(
@@ -696,6 +697,7 @@ def extract_descriptors_compact(
     skip_small: bool = False,
     angle_exact: bool = False,
     v1_rounding: bool = False,
+    with_diagnostics: bool = False,
 ) -> tuple[KeyPoints, jnp.ndarray]:
     """Batched description over a VALID-COMPACTED static budget.
 
@@ -707,10 +709,18 @@ def extract_descriptors_compact(
     ONE describe call over a static ``capacity`` prefix, and
     un-permutes the results back to the (B, K) layout via gathers (no
     scatter). Values are bit-identical to extract_descriptors_batch for
-    every described keypoint; if more than ``capacity`` keypoints are
-    valid, the overflow (lowest-priority in flat order) is dropped with
-    valid=False — a static capacity knob of the same class as
-    max_candidates/max_keypoints.
+    every described keypoint. ``capacity`` budgets the DESCRIBABLE
+    population — keypoints that are valid AND inside the pattern border
+    (the same RoiPredicate test _describe_core applies; border-rejected
+    keypoints never consume a slot and keep their original fields with
+    angle=-1, invalid either way). If more than ``capacity`` keypoints
+    are describable, the overflow (lowest-priority in flat order) is
+    dropped with valid=False — a static capacity knob of the same class
+    as max_candidates/max_keypoints.
+
+    ``with_diagnostics=True`` appends the batch-total describable count
+    as a third return (device scalar int32): ``count <= capacity``
+    certifies no overflow on THIS batch (bench.py / library consumers).
     """
     b, h, w = imgs.shape
     k = keypoints.x.shape[-1]
@@ -781,6 +791,8 @@ def extract_descriptors_compact(
         valid=unpack(out_kp_c.valid, False).reshape(b, k) & described,
     )
     desc = unpack(desc_c, 0).reshape(b, k, -1)
+    if with_diagnostics:
+        return out_kp, desc, jnp.sum(describable.astype(jnp.int32))
     return out_kp, desc
 
 

@@ -24,7 +24,7 @@ subpixel/1-D fits.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -1132,6 +1132,50 @@ def _aux_maps(layers, cand, pass1):
     return aux
 
 
+class AstDiagnostics(NamedTuple):
+    """Device-side certificate that the per-layer candidate capacities
+    did not truncate on THIS image (overflow silently drops corners —
+    detect_ast_keypoints docs). Same contract as
+    scale_space.DetectDiagnostics; assert ``ok`` when capacity tuning.
+    """
+
+    ok: jnp.ndarray             # () bool
+    corner_counts: jnp.ndarray  # (L,) int32: AGAST corners per layer
+    cand_caps: jnp.ndarray      # (L,) int32: static per-layer caps
+
+
+def ast_capacity_diagnostics(
+    img: jnp.ndarray,
+    threshold: int,
+    octaves: int,
+    max_candidates_per_layer: "int | tuple",
+    lower_threshold: int = 10,
+    v1: bool = False,
+) -> AstDiagnostics:
+    """Pyramid-only capacity certificate (no detection tail): per-layer
+    AGAST corner counts vs the candidate caps. Much cheaper to compile
+    than detect_ast_keypoints(with_diagnostics=True); bench.py uses it
+    to certify its caps on the bench frames before timing."""
+    layers = build_ast_pyramid(
+        img, octaves, threshold, lower=lower_threshold, v1=v1
+    )
+    n_layers = len(layers)
+    caps = (
+        max_candidates_per_layer
+        if isinstance(max_candidates_per_layer, tuple)
+        else (max_candidates_per_layer,) * n_layers
+    )
+    counts = jnp.stack(
+        [jnp.sum(la.corner.astype(jnp.int32)) for la in layers]
+    )
+    caps_arr = jnp.asarray(caps[:n_layers], jnp.int32)
+    return AstDiagnostics(
+        ok=jnp.all(counts <= caps_arr),
+        corner_counts=counts,
+        cand_caps=caps_arr,
+    )
+
+
 def detect_ast_keypoints(
     img: jnp.ndarray,
     threshold: int = 70,
@@ -1142,6 +1186,7 @@ def detect_ast_keypoints(
     passed_keypoints: KeyPoints | None = None,
     lower_threshold: int = 10,
     v1: bool = False,
+    with_diagnostics: bool = False,
 ) -> KeyPoints:
     """Dense BRISK-AST detection. Returns fixed-capacity KeyPoints.
 
@@ -1176,6 +1221,11 @@ def detect_ast_keypoints(
     t58 = agast5_8_score_map(layers[0].img) if n_layers > 1 else None
 
     cand = []
+    diag = AstDiagnostics(
+        ok=jnp.bool_(True),
+        corner_counts=jnp.zeros((n_layers,), jnp.int32),
+        cand_caps=jnp.zeros((n_layers,), jnp.int32),
+    )
     if passed_keypoints is not None:
         for layer in layers:
             h, w = layer.img.shape
@@ -1194,17 +1244,24 @@ def detect_ast_keypoints(
             else (max_candidates_per_layer,) * n_layers
         )
         assert len(caps) >= n_layers, (caps, n_layers)
+        corner_counts = []
         for layer, cap in zip(layers, caps):
             ys, xs = jnp.nonzero(
                 layer.corner, size=cap, fill_value=0
             )
             xs = xs.astype(jnp.int32)
             ys = ys.astype(jnp.int32)
-            valid = (
-                jnp.arange(cap)
-                < jnp.sum(layer.corner.astype(jnp.int32))
-            )
+            n_corners = jnp.sum(layer.corner.astype(jnp.int32))
+            corner_counts.append(n_corners)
+            valid = jnp.arange(cap) < n_corners
             cand.append((xs, ys, valid))
+        counts = jnp.stack(corner_counts)
+        caps_arr = jnp.asarray(caps[:n_layers], jnp.int32)
+        diag = AstDiagnostics(
+            ok=jnp.all(counts <= caps_arr),
+            corner_counts=counts,
+            cand_caps=caps_arr,
+        )
 
     if not suppress_scale_nonmaxima:
         per_layer = []
@@ -1235,7 +1292,8 @@ def detect_ast_keypoints(
                     valid=valid & is2d,
                 )
             )
-        return KeyPoints.concatenate(per_layer)
+        kps = KeyPoints.concatenate(per_layer)
+        return (kps, diag) if with_diagnostics else kps
 
     aux = [(None, None, None)] * n_layers
     exact_is2d: list = [None] * n_layers
@@ -1349,4 +1407,5 @@ def detect_ast_keypoints(
             )
         )
 
-    return KeyPoints.concatenate(per_layer)
+    kps = KeyPoints.concatenate(per_layer)
+    return (kps, diag) if with_diagnostics else kps

@@ -26,7 +26,7 @@ design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -474,17 +474,43 @@ def layer_score_masks(
     return scores, masks
 
 
+class DetectDiagnostics(NamedTuple):
+    """Device-side exactness certificate for the capacity-classed
+    detection backends (all cheap by-products of the normal pass).
+
+    The reference never silently drops candidates — its sort keeps all
+    (score-calculator.h:66-85); the TPU pipeline's static capacities
+    (max_candidates, refine_capacity) and the two-stage block top-k are
+    exact only when the data fits, so `ok` certifies THIS input. Request
+    via ``detect_keypoints(..., with_diagnostics=True)`` and assert
+    ``ok`` (bench.py, tools/kitti_eval.py, examples/live_pipeline.py do).
+    """
+
+    ok: jnp.ndarray              # () bool — everything below holds
+    cand_counts: jnp.ndarray     # (L,) int32: 2d/3d maxima per layer
+    cand_caps: jnp.ndarray       # (L,) int32: static per-layer caps
+    topk_exact: jnp.ndarray      # (L,) bool: block top-k sharp flag
+    accepted_counts: jnp.ndarray  # (L,) int32: uniformity-accepted
+    refine_caps: jnp.ndarray     # (L,) int32 (INT32_MAX = uncapped)
+
+
 def detect_keypoints(
     img: jnp.ndarray,
     config: DetectorConfig,
     score_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
-) -> KeyPoints:
+    with_diagnostics: bool = False,
+) -> "KeyPoints | tuple[KeyPoints, DetectDiagnostics]":
     """Full scale-space detection on one uint8/uint16 image.
 
     uint8 uses the integer Harris path (bit-exact vs the reference's
     HarrisScoresSSE); uint16 uses the float Harris path like the
     reference's 16-bit pipeline (HarrisScoreCalculatorFloat accepts
     CV_16U, harris-score-calculator-float.cc:115). Jit-compatible.
+
+    ``with_diagnostics=True`` additionally returns a
+    :class:`DetectDiagnostics` certifying that no capacity knob
+    truncated on THIS image (~zero extra cost: every count is a sum of
+    a mask the pass already computes).
     """
     n_layers = config.n_layers
     scores, masks = layer_score_masks(img, config, score_fn)
@@ -507,14 +533,67 @@ def detect_keypoints(
         for i in range(n_layers)
     ]
 
+    diag = None
+    if with_diagnostics:
+        # Candidate-cap overflow is BENIGN (provably value-neutral) when
+        # uniformity is off and the cap covers the output budget: the
+        # 1x1-bucket accept keeps only the first min(max_num_kpt, k)
+        # valid candidates in score order, and the final cross-layer
+        # response top-k needs at most max_keypoints per layer — both
+        # prefixes of the score-sorted list, unchanged by any cap >=
+        # the budget. (With uniformity ON, greedy suppression consumes
+        # weaker candidates, so overflow is a real truncation.)
+        eff_kpt = min(config.max_num_kpt, config.max_keypoints)
+        caps = jnp.asarray(
+            [
+                (2**31 - 1)
+                if (
+                    config.uniformity_radius == 0.0
+                    and config.layer_cap(i) >= eff_kpt
+                )
+                else min(config.layer_cap(i), scores[i].size)
+                for i in range(n_layers)
+            ],
+            jnp.int32,
+        )
+        counts = jnp.stack(
+            [jnp.sum(masks[i].astype(jnp.int32)) for i in range(n_layers)]
+        )
+        exact = jnp.stack([cands[i][4] for i in range(n_layers)])
+        acc_counts = jnp.stack(
+            [jnp.sum(accepts[i].astype(jnp.int32))
+             for i in range(n_layers)]
+        )
+        rcaps = jnp.asarray(
+            [
+                (2**31 - 1) if config.refine_cap(i) is None
+                else config.refine_cap(i)
+                for i in range(n_layers)
+            ],
+            jnp.int32,
+        )
+        diag = DetectDiagnostics(
+            ok=(
+                jnp.all(counts <= caps)
+                & jnp.all(exact)
+                & jnp.all(acc_counts <= rcaps)
+            ),
+            cand_counts=counts,
+            cand_caps=caps,
+            topk_exact=exact,
+            accepted_counts=acc_counts,
+            refine_caps=rcaps,
+        )
+
     compacted = [
         compact_accepted(
-            *cands[i], accepts[i], config, cap=config.refine_cap(i)
+            *cands[i][:4], accepts[i], config, cap=config.refine_cap(i)
         )
         for i in range(n_layers)
     ]
     if n_layers > 1 and len({t[0].shape[0] for t in compacted}) == 1:
-        return _refine_keypoints_fused(scores, compacted, geoms, config)
+        kps = _refine_keypoints_fused(scores, compacted, geoms, config)
+        return (kps, diag) if with_diagnostics else kps
 
     for i in range(n_layers):
         xs, ys, top_scores, valid, accept = compacted[i]
@@ -524,7 +603,8 @@ def detect_keypoints(
         )
         per_layer.append(kps)
 
-    return KeyPoints.concatenate(per_layer)
+    kps = KeyPoints.concatenate(per_layer)
+    return (kps, diag) if with_diagnostics else kps
 
 
 def compact_accepted(xs, ys, top_scores, valid, accept, config, *extra,
@@ -566,7 +646,15 @@ def compact_accepted(xs, ys, top_scores, valid, accept, config, *extra,
 
 
 def _layer_candidates(sc, mask, config, cap=None):
-    """Score-descending candidate list: (xs, ys, scores, valid)."""
+    """Score-descending candidate list: (xs, ys, scores, valid, exact).
+
+    ``exact`` is a device scalar bool: True when this extraction is
+    bitwise-identical to the full-map sort (always, except the "block"
+    backend on data where some 2048-block overflows topk_block_r at or
+    above the k-th value — the sharp topk_block flag). Consumed by
+    detect_keypoints(with_diagnostics=True); callers that index [:4]
+    are unaffected.
+    """
     h, w = sc.shape
     k = min(
         config.max_candidates if cap is None else cap, h * w
@@ -581,10 +669,11 @@ def _layer_candidates(sc, mask, config, cap=None):
     # threshold + prefix compaction (kernels/topk.py, bit-identical).
     masked = jnp.where(mask, sc, sentinel)
     is_int = not jnp.issubdtype(sc.dtype, jnp.floating)
+    exact = jnp.bool_(True)
     if config.topk_impl == "block" and is_int:
         from ethzasl_brisk_tpu.kernels.topk import topk_block
 
-        top_scores, top_idx, _ = topk_block(
+        top_scores, top_idx, exact = topk_block(
             masked.reshape(-1), k,
             block=config.topk_block_size, r=config.topk_block_r,
         )
@@ -603,11 +692,11 @@ def _layer_candidates(sc, mask, config, cap=None):
     ys = top_idx // w
     xs = top_idx % w
     valid = jnp.take(mask.reshape(-1), top_idx)
-    return xs, ys, top_scores, valid
+    return xs, ys, top_scores, valid, exact
 
 
 def _layer_accept(cand, shape, config):
-    xs, ys, top_scores, valid = cand
+    xs, ys, top_scores, valid = cand[:4]
     h, w = shape
     k = xs.shape[0]
     if config.uniformity_radius > 0.0:

@@ -356,7 +356,8 @@ def _finish(merged, config, geoms, heights, widths):
         from ethzasl_brisk_tpu.detect.scale_space import compact_accepted
 
         xs_m, ys_m, sc_m, v_m, accept, p_m = compact_accepted(
-            xs_m, ys_m, sc_m, v_m, accept, config, p_m
+            xs_m, ys_m, sc_m, v_m, accept, config, p_m,
+            cap=config.refine_cap(i),
         )
         out.append(
             refine_from_patches(

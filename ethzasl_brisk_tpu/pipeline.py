@@ -125,6 +125,20 @@ class BriskFeature:
             kps = kps.top_k(self.max_keypoints)
         return kps
 
+    def detect_with_diagnostics(self, img: jnp.ndarray):
+        """detect() + a DetectDiagnostics certifying that no capacity
+        knob (per-layer candidate caps, block top-k, refine caps)
+        truncated on THIS image — ~zero extra cost (the counts are sums
+        of masks the pass already computes). Assert ``diag.ok`` when
+        running the perf backends on new data (bench.py does, on its
+        frames, before every timed run)."""
+        kps, diag = detect_keypoints(
+            img, self._config, with_diagnostics=True
+        )
+        if kps.capacity > self.max_keypoints:
+            kps = kps.top_k(self.max_keypoints)
+        return kps, diag
+
     def compute(
         self, img: jnp.ndarray, keypoints: KeyPoints
     ) -> tuple[KeyPoints, jnp.ndarray]:
@@ -182,6 +196,13 @@ class BriskFeatureDetector:
     # Bit-exact reference angle/theta via host libm atan2f (CPU parity
     # harnesses; see describe.extractor._exact_angle_host).
     angle_exact: bool = False
+    # Detection backend: "candidates" = the per-candidate gather path
+    # (ast_scale_space.py; supports every raw_cache_model and the
+    # passed-keypoints / non-suppressed modes); "dense" = whole-map
+    # decisions with one final gather (ast_dense.py; emulated model,
+    # suppressed mode only — bitwise-equal outputs, built for TPU where
+    # per-candidate gathers cost ~10-20 ns/index).
+    detect_impl: str = "candidates"
 
     def __post_init__(self):
         object.__setattr__(
@@ -194,12 +215,51 @@ class BriskFeatureDetector:
                 angle_exact=self.angle_exact,
             ),
         )
+        if self.detect_impl == "dense":
+            assert self.raw_cache_model == "emulated", (
+                "dense detect implements the emulated cache model only"
+            )
+            assert self.suppress_scale_nonmaxima, (
+                "dense detect implements the suppressed mode only"
+            )
 
     @property
     def extractor(self) -> BriskExtractor:
         return self._extractor
 
+    def detect_with_diagnostics(self, img: jnp.ndarray):
+        """detect() + an AstDiagnostics certifying the per-layer
+        candidate capacities did not truncate on THIS image (overflow
+        silently drops corners; bench.py asserts this on its frames
+        before timing)."""
+        from ethzasl_brisk_tpu.detect.ast_scale_space import (
+            detect_ast_keypoints,
+        )
+
+        return detect_ast_keypoints(
+            img,
+            threshold=self.threshold,
+            octaves=self.octaves,
+            max_candidates_per_layer=self.max_candidates_per_layer,
+            suppress_scale_nonmaxima=self.suppress_scale_nonmaxima,
+            raw_cache_model=self.raw_cache_model,
+            v1=(self.version == "v1"),
+            with_diagnostics=True,
+        )
+
     def detect(self, img: jnp.ndarray) -> KeyPoints:
+        if self.detect_impl == "dense":
+            from ethzasl_brisk_tpu.detect.ast_dense import (
+                detect_ast_keypoints_dense,
+            )
+
+            return detect_ast_keypoints_dense(
+                img,
+                threshold=self.threshold,
+                octaves=self.octaves,
+                max_candidates_per_layer=self.max_candidates_per_layer,
+                v1=(self.version == "v1"),
+            )
         from ethzasl_brisk_tpu.detect.ast_scale_space import (
             detect_ast_keypoints,
         )

@@ -320,7 +320,7 @@ def test_fused_refine_bitwise_equals_per_layer():
             per = []
             for i in range(n):
                 xs, ys, tsc, valid, acc = ss.compact_accepted(
-                    *cands[i], accepts[i], cfg
+                    *cands[i][:4], accepts[i], cfg
                 )
                 per.append(ss._refine_layer_keypoints(
                     scores[i], xs, ys, tsc, valid, acc, geoms[i], cfg

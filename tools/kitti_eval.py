@@ -125,6 +125,23 @@ def main():
                     help="checkpoint every N keyframes")
     args = ap.parse_args()
 
+    # Round-4 default change, called out loudly (ADVICE r4): two
+    # heuristic gates are ON by default because they beat the ungated
+    # runs on every synthetic clean/stress seed (NOTES r4 table). They
+    # CHANGE results vs round-3 invocations; restore the old behavior
+    # with --ba-max-obs-residual 0 --min-inlier-spread 0. The spread
+    # gate can reject legitimate poses when inliers naturally
+    # concentrate (low-texture / distant scenes) — disable it there.
+    if args.ba_max_obs_residual or args.min_inlier_spread:
+        print(
+            "NOTE: pre-BA residual gate "
+            f"({args.ba_max_obs_residual} px) and inlier-spread gate "
+            f"({args.min_inlier_spread}) are ON (r4 defaults); pass "
+            "--ba-max-obs-residual 0 --min-inlier-spread 0 for the "
+            "ungated r3 behavior.",
+            file=sys.stderr,
+        )
+
     import jax
 
     # The axon TPU plugin overrides JAX_PLATFORMS; honor an explicit
@@ -163,6 +180,21 @@ def main():
         max_candidates=2048,
         max_keypoints=args.max_keypoints,
     )
+    # One-shot capacity certification on the first frame (library
+    # diagnostics API): silently-truncating caps would skew every
+    # downstream match/pose, so flag them loudly up front.
+    _, _diag = jax.jit(feature.detect_with_diagnostics)(
+        jnp.asarray(frames[0])
+    )
+    if not bool(np.asarray(_diag.ok)):
+        print(
+            "WARNING: detector capacity overflow on frame 0 "
+            f"(candidates {np.asarray(_diag.cand_counts).tolist()} vs "
+            f"caps {np.asarray(_diag.cand_caps).tolist()}); weakest "
+            "candidates are dropped — raise max_candidates.",
+            file=sys.stderr,
+        )
+
     vo = VoFrontend(
         camera=cam,
         feature=feature,

@@ -127,7 +127,7 @@ def main():
                 for c, s in zip(cands, scores)
             ]
             return [
-                compact_accepted(*c, a, cfg)
+                compact_accepted(*c[:4], a, cfg)
                 for c, a in zip(cands, accepts)
             ]
 
@@ -148,7 +148,7 @@ def main():
             ]
             out = []
             for sc, c, a in zip(scores, cands, accepts):
-                xs, ys, tsc, valid, acc = compact_accepted(*c, a, cfg)
+                xs, ys, tsc, valid, acc = compact_accepted(*c[:4], a, cfg)
                 h, w = sc.shape
                 flat = sc.reshape(-1)
                 rows = []
