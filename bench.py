@@ -69,10 +69,11 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "12"))
 
     if os.environ.get("BENCH_PIPELINE", "harris") == "ast":
-        # The AST pipeline's dense per-layer score/cache maps do not
-        # fit HBM at batch 128 (15.9/15.75 GB); 64 is its ceiling.
+        # Batch sweep with the dense detect engine (2026-08-20):
+        # 64 -> 52.8, 96 -> 57.9 fps; the candidate engine OOMed HBM
+        # at 128 (15.9 GB of per-layer maps).
         return main_ast(
-            int(os.environ.get("BENCH_BATCH", "64")), iters
+            int(os.environ.get("BENCH_BATCH", "96")), iters
         )
 
     # Per-layer candidate caps: per-candidate cost (uniformity, refine,
@@ -527,10 +528,12 @@ def main_ast(batch: int, iters: int) -> None:
         octaves=int(os.environ.get("BENCH_AST_OCTAVES", "3")),
         max_candidates_per_layer=cands,
         raw_cache_model="emulated",
-        # "dense" = whole-map decisions + one final gather
-        # (detect/ast_dense.py), bitwise-equal to the candidate path
-        # (tests/test_ast_dense.py).
-        detect_impl=os.environ.get("BENCH_AST_IMPL", "candidates"),
+        # "dense" = whole-map probe scans + per-candidate refinement
+        # tails (detect/ast_dense.py): bitwise-equal to the candidate
+        # path (tests/test_ast_dense.py eager x64;
+        # probe_ast_dense.py BITWISE OK on these frames) and ~2x
+        # faster (746 vs 1442 ms detect/batch64).
+        detect_impl=os.environ.get("BENCH_AST_IMPL", "dense"),
     )
     mesh = make_mesh(1, 1)
     pipe = AstFramePipeline(

@@ -94,6 +94,7 @@ def dense_score_patch_max(
     thr: jnp.ndarray,        # (h, w) center-score map of the dst layer
     mode: str,               # above_octave|above_intra|below_octave|below_intra
     drop: int = K_DROP_THRESHOLD,
+    _probes_only: bool = False,   # profiling: stop after the scan loop
 ):
     """Dense GetScoreMaxAbove/Below (brisk-scale-space.cc:757-1099).
 
@@ -166,24 +167,35 @@ def dense_score_patch_max(
     ixf = ix_first.reshape(-1)
     iyf = iy_first.reshape(-1)
 
-    # Batched 6x6 offset grid: ONE row-take + ONE col-take cover every
+    # Batched 4x4 offset grid: ONE row-take + ONE col-take cover every
     # read of the scan. grid[j, :, k, :] = cache[iy_first + j,
     # ix_first + k] with the [3, n-4] _cache_score border zeroed.
-    offs = _GRID_OFFS
+    # Offset range per mode: scan positions sit at {-1, 0} (above; the
+    # last float col can land one left of ix_first) or {0, 1} (below;
+    # a second int col), and probes/patch/tie taps reach +-1 of those
+    # plus the bilinear's +1 — a 4-offset window per axis. The take
+    # runs on a uint8 view (cache = max(t*, thrmap) <= 255): gathers
+    # here are bandwidth-bound and the grid is the scan's largest
+    # buffer (4x smaller in u8; consumers upcast fused).
+    offs = (-2, -1, 0, 1) if n_int == 1 else (-1, 0, 1, 2)
+    pos_offs = (-1, 0) if n_int == 1 else (0, 1)
+    cache_u8 = cache.astype(jnp.uint8)
     iy_cat = jnp.concatenate(
         [jnp.clip(iyf + j, 0, h_n - 1) for j in offs]
     )
-    rows_cat = jnp.take(cache, iy_cat, axis=0)     # (6h, w_n)
+    rows_cat = jnp.take(cache_u8, iy_cat, axis=0)  # (4h, w_n)
     ix_cat = jnp.concatenate(
         [jnp.clip(ixf + k, 0, w_n - 1) for k in offs]
     )
-    grid = jnp.take(rows_cat, ix_cat, axis=1)      # (6h, 6w)
+    grid = jnp.take(rows_cat, ix_cat, axis=1)      # (4h, 4w)
     grid = grid.reshape(len(offs), h, len(offs), w)
     oky = {j: ((iyf + j) >= 3) & ((iyf + j) < h_n - 3) for j in offs}
     okx = {k: ((ixf + k) >= 3) & ((ixf + k) < w_n - 3) for k in offs}
     D = {
         (j, k): jnp.where(
-            oky[j][:, None] & okx[k][None, :], grid[ji, :, ki, :], 0
+            oky[j][:, None] & okx[k][None, :],
+            grid[ji, :, ki, :].astype(jnp.int32),
+            0,
         )
         for ji, j in enumerate(offs)
         for ki, k in enumerate(offs)
@@ -234,7 +246,7 @@ def dense_score_patch_max(
             ("i", xi, xi <= ix_last, jnp.full_like(ix_first, k),
              None, (k,))
         )
-    cols.append(("f", x1, None, t_xl, t_xl, (-1, 0, 1)))
+    cols.append(("f", x1, None, t_xl, t_xl, pos_offs))
 
     rows = [
         ("f", y_1, None, True, jnp.zeros_like(iy_first), ty_1, (-1, 0))
@@ -245,7 +257,7 @@ def dense_score_patch_max(
             ("i", yi, yi <= iy_last, True, jnp.full_like(iy_first, k),
              None, (k,))
         )
-    rows.append(("f", y1, None, False, t_yl, t_yl, (-1, 0, 1)))
+    rows.append(("f", y1, None, False, t_yl, t_yl, pos_offs))
 
     def probe(ckind, cval, rkind, rval, cx_off, cx_vals, cy_off,
               cy_vals):
@@ -309,8 +321,8 @@ def dense_score_patch_max(
                 j_off = ri - 1
                 t1 = sm_static(j_off, k_off)
                 t2 = jnp.zeros((h, w), jnp.int32)
-                for ko in (-1, 0, 1):
-                    for jo in (-1, 0, 1):
+                for ko in pos_offs:
+                    for jo in pos_offs:
                         t2 = t2 + jnp.where(
                             (mx_off == ko) & (my_off == jo),
                             sm_static(jo, ko),
@@ -331,13 +343,21 @@ def dense_score_patch_max(
                 upd, jnp.broadcast_to(py_off, (h, w)), my_off
             )
 
+    if _probes_only == "dict":
+        return dict(
+            shape=(h, w), mode=mode, exceeded=exceeded, best=best,
+            mx_off=mx_off, my_off=my_off, ixf=ixf, iyf=iyf,
+        )
+    if _probes_only:
+        return exceeded, best, mx_off, my_off
+
     # Sub-pixel on the 3x3 around the argmax position: one-hot select
     # over the static offset grid (argmax offsets range over {-1, 0, 1}
     # per axis across all modes).
     def patch_entry(a, b):
         e = jnp.zeros((h, w), jnp.int32)
-        for ko in (-1, 0, 1):
-            for jo in (-1, 0, 1):
+        for ko in pos_offs:
+            for jo in pos_offs:
                 e = e + jnp.where(
                     (mx_off == ko) & (my_off == jo),
                     D[(jo + b - 1, ko + a - 1)],
@@ -380,6 +400,228 @@ def dense_score_patch_max(
     ismax = ~exceeded
     score = jnp.where(ismax, score, 0.0)
     return ismax, score, dx, dy
+
+
+def dense_scan_probes(neighbor, dst_shape, thr, mode,
+                      drop=K_DROP_THRESHOLD):
+    """Dense probe scan WITHOUT the refinement tail: returns a dict of
+    per-pixel scan results (exceeded/best/argmax offsets + the index
+    staircases) for :func:`sparse_scan_tail`. The probes and the
+    first-max/tie logic are elementwise-cheap; the Subpixel2D +
+    back-conversion tail is VPU-compute-bound on full maps (~160 of a
+    200 ms scan at batch 16) and only matters at corner pixels, so it
+    runs per candidate instead."""
+    return dense_score_patch_max(
+        neighbor, dst_shape, thr, mode, drop=drop, _probes_only="dict"
+    )
+
+
+def _packed_patch33(map2d: jnp.ndarray, xs, ys):
+    """(K, 3, 3) patch with patch[k, a, b] = map2d[y + b - 1, x + a - 1]
+    via ONE packed (9K,) take (gathers cost a flat per-call time on this
+    backend). Clipped indices land in the map's zeroed border, matching
+    the candidate path's clip-gather + interior test."""
+    h_n, w_n = map2d.shape
+    idx = []
+    for a in (-1, 0, 1):
+        for b in (-1, 0, 1):
+            yy = jnp.clip(ys + b, 0, h_n - 1)
+            xx = jnp.clip(xs + a, 0, w_n - 1)
+            idx.append(yy * w_n + xx)
+    taps = jnp.take(map2d.reshape(-1), jnp.concatenate(idx))
+    return taps.reshape(3, 3, -1).transpose(2, 0, 1)
+
+
+def sparse_scan_tail(scan: dict, masked_src: jnp.ndarray, xs, ys):
+    """Per-candidate Subpixel2D + back-conversion of a dense probe scan
+    — the exact tail of ``_score_patch_max`` (brisk-scale-space.cc
+    :830-886 / :1030-1070) on (K,) vectors. Returns (ismax, score, dx,
+    dy) for candidates at (xs, ys) of the destination layer."""
+    h, w = scan["shape"]
+    mode = scan["mode"]
+    flat = ys * w + xs
+    # ONE packed take of the per-pixel scan results: best is an
+    # integer-valued f32 (truncated bilinears of <= 255 int scores;
+    # border extrapolation gives weights in (-1, 2), so values lie well
+    # inside (-4096, 4096) — offset-packed in 14 bits), argmax offsets
+    # lie in {-1..1}, exceeded is one bit.
+    packed = (
+        (scan["best"].astype(jnp.int32) + 4096)
+        + ((scan["mx_off"] + 1) << 14)
+        + ((scan["my_off"] + 1) << 16)
+        + (scan["exceeded"].astype(jnp.int32) << 18)
+    )
+    pc = jnp.take(packed.reshape(-1), flat)
+    best = ((pc & 0x3FFF) - 4096).astype(f32)
+    mx_off = ((pc >> 14) & 3) - 1
+    my_off = ((pc >> 16) & 3) - 1
+    exceeded = ((pc >> 18) & 1).astype(bool)
+    mx = jnp.take(scan["ixf"], xs) + mx_off
+    my = jnp.take(scan["iyf"], ys) + my_off
+
+    patch = _packed_patch33(masked_src, mx, my)
+    dx1, dy1, refined = ast_subpixel2d(patch)
+    real_x = mx.astype(f32) + dx1
+    real_y = my.astype(f32) + dy1
+    xsf = xs.astype(f32)
+    ysf = ys.astype(f32)
+
+    if mode == "above_octave":
+        dx = (_fmul(real_x, f32(6.0)) + f32(1.0)) / f32(4.0) - xsf
+        dy = (_fmul(real_y, f32(6.0)) + f32(1.0)) / f32(4.0) - ysf
+    elif mode == "above_intra":
+        dx = ((_nf(_dbl(real_x) * 8.0) + 1.0) / 6.0 - _dbl(xsf)).astype(f32)
+        dy = ((_nf(_dbl(real_y) * 8.0) + 1.0) / 6.0 - _dbl(ysf)).astype(f32)
+    elif mode == "below_octave":
+        dx = ((_nf(_dbl(real_x) * 6.0) + 1.0) / 8.0 - _dbl(xsf)).astype(f32)
+        dy = ((_nf(_dbl(real_y) * 6.0) + 1.0) / 8.0 - _dbl(ysf)).astype(f32)
+    else:
+        dx = ((_nf(_dbl(real_x) * 4.0) - 1.0) / 6.0 - _dbl(xsf)).astype(f32)
+        dy = ((_nf(_dbl(real_y) * 4.0) - 1.0) / 6.0 - _dbl(ysf)).astype(f32)
+
+    unrefined = (dx > 1.0) | (dx < -1.0) | (dy > 1.0) | (dy < -1.0)
+    dx = jnp.clip(dx, -1.0, 1.0)
+    dy = jnp.clip(dy, -1.0, 1.0)
+    score = jnp.where(unrefined, best, jnp.maximum(refined, best))
+    ismax = ~exceeded
+    score = jnp.where(ismax, score, 0.0)
+    return ismax, score, dx, dy
+
+
+def sparse_refine3d(
+    layers, i, xs, ys, above_scan, below_scan, masked, masked58,
+    v1=False,
+):
+    """Per-candidate Refine3D (mirrors ast_scale_space.refine3d body)
+    from dense probe scans + packed patch takes. Returns (ismax, mx,
+    x, y, scale_total) as (K,) vectors."""
+    this = layers[i]
+    h, w = this.img.shape
+    center = jnp.take(masked[i].reshape(-1), ys * w + xs)
+
+    is_octave = i % 2 == 0
+    ismax_a, max_above, dxa, dya = sparse_scan_tail(
+        above_scan, masked[i + 1], xs, ys
+    )
+
+    patch = _packed_patch33(masked[i], xs, ys)
+    dxl, dyl, max_layer = ast_subpixel2d(patch)
+    s_1_1 = center
+
+    centerf = center.astype(f32)
+    max_layer_or_center = jnp.maximum(centerf, max_layer)
+
+    if is_octave:
+        if i == 0:
+            p58 = _packed_patch33(masked58, xs, ys)
+            max_below = jnp.max(p58.reshape(p58.shape[0], -1), axis=1)
+            dxb, dyb, _ = ast_subpixel2d(p58)
+            max_below_f = max_below.astype(f32)
+            ismax_b = jnp.ones_like(ismax_a)
+        else:
+            ismax_b, max_below_f, dxb, dyb = sparse_scan_tail(
+                below_scan, masked[i - 1], xs, ys
+            )
+        if v1:
+            no_refine = jnp.zeros_like(ismax_a)
+            discard = jnp.zeros_like(ismax_a)
+        elif i == 0:
+            no_refine = (s_1_1 - K_MAX_THRESHOLD) <= _trunc_i32(max_above)
+            discard = jnp.zeros_like(no_refine)
+        else:
+            weak = ((s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_above) | (
+                (s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_below_f
+            )
+            edge = ((s_1_1 - K_MIN_DROP).astype(f32) > max_above) | (
+                (s_1_1 - K_MIN_DROP).astype(f32) > max_below_f
+            )
+            no_refine = weak & edge
+            discard = weak & ~edge
+
+        if i == 0:
+            r_scale, r_max = refine1d_2(
+                max_below_f, max_layer_or_center, max_above
+            )
+        else:
+            r_scale, r_max = refine1d(
+                max_below_f, max_layer_or_center, max_above
+            )
+        scale = jnp.where(no_refine, f32(1.0), r_scale)
+        mxv = jnp.where(no_refine, max_layer, r_max)
+
+        r0_up = (f32(1.5) - scale) / f32(0.5)
+        r1_up = f32(1.0) - r0_up
+        x_up = _fmul(r0_up, dxl) + _fmul(r1_up, dxa) + xs.astype(f32)
+        y_up = _fmul(r0_up, dyl) + _fmul(r1_up, dya) + ys.astype(f32)
+
+        r0_dn = (scale - f32(0.5 if i == 0 else 0.75)) / f32(
+            0.5 if i == 0 else 0.25
+        )
+        r1_dn = f32(1.0) - r0_dn
+        x_dn = _fmul(r0_dn, dxl) + _fmul(r1_dn, dxb) + xs.astype(f32)
+        y_dn = _fmul(r0_dn, dyl) + _fmul(r1_dn, dyb) + ys.astype(f32)
+
+        up = scale > 1.0
+        if i == 0:
+            x_out = jnp.where(up, x_up, x_dn)
+            y_out = jnp.where(up, y_up, y_dn)
+        else:
+            ls = f32(this.scale)
+            lo = f32(this.offset)
+            x_out = jnp.where(
+                up, _fmul(x_up, ls) + lo, _fmul(x_dn, ls) + lo
+            )
+            y_out = jnp.where(
+                up, _fmul(y_up, ls) + lo, _fmul(y_dn, ls) + lo
+            )
+    else:
+        ismax_b, max_below_f, dxb, dyb = sparse_scan_tail(
+            below_scan, masked[i - 1], xs, ys
+        )
+        if v1:
+            no_refine = jnp.zeros_like(ismax_a)
+            discard = jnp.zeros_like(ismax_a)
+        else:
+            weak = ((s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_above) | (
+                (s_1_1 - K_MAX_THRESHOLD).astype(f32) < max_below_f
+            )
+            edge = ((s_1_1 - K_MIN_DROP).astype(f32) > max_above) | (
+                (s_1_1 - K_MIN_DROP).astype(f32) > max_below_f
+            )
+            no_refine = weak & edge
+            discard = weak & ~edge
+
+        r_scale, r_max = refine1d_1(
+            max_below_f, max_layer_or_center, max_above
+        )
+        scale = jnp.where(no_refine, f32(1.0), r_scale)
+        mxv = jnp.where(no_refine, max_layer, r_max)
+
+        r0_up = (4.0 - _nf(_dbl(scale) * 3.0)).astype(f32)
+        r1_up = f32(1.0) - r0_up
+        r0_dn = (_nf(_dbl(scale) * 3.0) - 2.0).astype(f32)
+        r1_dn = f32(1.0) - r0_dn
+        ls = f32(this.scale)
+        lo = f32(this.offset)
+        x_up = _fmul(
+            _fmul(r0_up, dxl) + _fmul(r1_up, dxa) + xs.astype(f32), ls
+        ) + lo
+        y_up = _fmul(
+            _fmul(r0_up, dyl) + _fmul(r1_up, dya) + ys.astype(f32), ls
+        ) + lo
+        x_dn = _fmul(
+            _fmul(r0_dn, dxl) + _fmul(r1_dn, dxb) + xs.astype(f32), ls
+        ) + lo
+        y_dn = _fmul(
+            _fmul(r0_dn, dyl) + _fmul(r1_dn, dyb) + ys.astype(f32), ls
+        ) + lo
+        up = scale > 1.0
+        x_out = jnp.where(up, x_up, x_dn)
+        y_out = jnp.where(up, y_up, y_dn)
+
+    ismax = ismax_a & ismax_b & ~discard
+    scale_total = scale * f32(this.scale)
+    return ismax, mxv, x_out, y_out, scale_total
 
 
 # ---------------------------------------------------------------------------
@@ -866,21 +1108,46 @@ def detect_ast_keypoints_dense(
     )
     assert len(caps) >= n_layers, (caps, n_layers)
 
-    # Aux-independent pieces ONCE per layer (scans, refine, fields).
+    drop = 0 if v1 else K_DROP_THRESHOLD
+    masked = [_masked_cache(la) for la in layers]
+    masked58 = None
+    if n_layers > 1:
+        h0, w0 = layers[0].img.shape
+        inb2 = jnp.zeros((h0, w0), bool).at[
+            2: h0 - 2, 2: w0 - 2
+        ].set(True)
+        masked58 = jnp.where(inb2 & (t58 >= 1), t58, 0)
+
+    # Dense probe scans (elementwise-cheap); the VPU-heavy refinement
+    # tails run per candidate below.
+    above_pr: list = [None] * n_layers
+    below_pr: list = [None] * n_layers
+    for i in range(n_layers):
+        hw = layers[i].img.shape
+        if n_layers > 1 and i < n_layers - 1:
+            mode_a = "above_octave" if i % 2 == 0 else "above_intra"
+            above_pr[i] = dense_scan_probes(
+                layers[i + 1], hw, masked[i], mode_a, drop=drop
+            )
+        if n_layers > 1 and i >= 1:
+            mode_b = "below_octave" if i % 2 == 0 else "below_intra"
+            below_pr[i] = dense_scan_probes(
+                layers[i - 1], hw, masked[i], mode_b, drop=drop
+            )
+
     etm = [earliest_toucher_map(la) for la in layers]
-    scans = [
-        dense_layer_scans(layers, i, t58, v1=v1)
-        for i in range(n_layers)
-    ]
     pass1 = []
     for i in range(n_layers):
+        hw = layers[i].img.shape
+        ones = jnp.ones(hw, bool)
         is2d = dense_is_max_2d(layers[i], etm[i], None, None)
-        _, _, ismax_a, ismax_b = scans[i]
+        ia = ~above_pr[i]["exceeded"] if above_pr[i] is not None else ones
+        ib = ~below_pr[i]["exceeded"] if below_pr[i] is not None else ones
         pass1.append(
             dict(
                 is2d=is2d,
-                patch_touched=is2d & ismax_a & ismax_b,
-                above_ok=ismax_a,
+                patch_touched=is2d & ia & ib,
+                above_ok=ia,
             )
         )
     aux = dense_aux_maps(layers, pass1, etm=etm)
@@ -889,42 +1156,61 @@ def detect_ast_keypoints_dense(
     corner_counts = []
     for i in range(n_layers):
         e_q, e_p, pre = aux[i]
-        is2d = dense_is_max_2d(layers[i], e_q, e_p, pre)
-        gate, fields, _, _ = scans[i]
-        accepted = is2d & gate
-        x_out, y_out, size, score, octave_idx = fields
+        is2d2 = dense_is_max_2d(layers[i], e_q, e_p, pre)
 
         layer = layers[i]
         cap = caps[i]
         h, w = layer.img.shape
+        ls = f32(layer.scale)
+        lo = f32(layer.offset)
         ys, xs = jnp.nonzero(layer.corner, size=cap, fill_value=0)
         xs = xs.astype(jnp.int32)
         ys = ys.astype(jnp.int32)
         n_corners = jnp.sum(layer.corner.astype(jnp.int32))
         corner_counts.append(n_corners)
         valid = jnp.arange(cap) < n_corners
-        # ONE packed take for all five field maps (gathers cost a flat
-        # per-call time on this backend; accepted rides as 0.0/1.0 —
-        # exact for a bool).
-        packed = jnp.stack(
-            [
-                x_out.reshape(-1),
-                y_out.reshape(-1),
-                size.reshape(-1),
-                score.astype(f32).reshape(-1),
-                accepted.astype(f32).reshape(-1),
-            ]
-        )
-        taken = jnp.take(packed, ys * w + xs, axis=1)  # (5, cap)
+
+        # Per-candidate refinement tail (mirrors _process_layer).
+        if n_layers == 1:
+            patch = _packed_patch33(masked[i], xs, ys)
+            dxl, dyl, mxv = ast_subpixel2d(patch)
+            x_out = xs.astype(f32) + dxl
+            y_out = ys.astype(f32) + dyl
+            score = mxv
+            size = jnp.full((cap,), K_BASIC_SIZE, f32)
+            gate = jnp.ones((cap,), bool)
+            octave_idx = 0
+        elif i == n_layers - 1:
+            gate, _, _, _ = sparse_scan_tail(
+                below_pr[i], masked[i - 1], xs, ys
+            )  # ismax_b
+            patch = _packed_patch33(masked[i], xs, ys)
+            dxl, dyl, mxv = ast_subpixel2d(patch)
+            x_out = _fmul(xs.astype(f32) + dxl, ls) + lo
+            y_out = _fmul(ys.astype(f32) + dyl, ls) + lo
+            score = mxv
+            size = jnp.full((cap,), f32(K_BASIC_SIZE) * ls, f32)
+            octave_idx = i
+        else:
+            ismax, mxv, x_out, y_out, st = sparse_refine3d(
+                layers, i, xs, ys, above_pr[i], below_pr[i],
+                masked, masked58, v1=v1,
+            )
+            size = f32(K_BASIC_SIZE) * st
+            gate = ismax
+            score = mxv
+            octave_idx = i
+
+        is2d_c = jnp.take(is2d2.reshape(-1), ys * w + xs)
         per_layer.append(
             KeyPoints(
-                x=taken[0],
-                y=taken[1],
-                size=taken[2],
+                x=x_out,
+                y=y_out,
+                size=size,
                 angle=jnp.full((cap,), -1.0, f32),
-                response=taken[3],
+                response=score.astype(f32),
                 octave=jnp.full((cap,), octave_idx, jnp.int32),
-                valid=valid & (taken[4] > 0.5),
+                valid=valid & is2d_c & gate,
             )
         )
 
