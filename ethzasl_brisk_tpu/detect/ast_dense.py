@@ -88,6 +88,56 @@ def _sep_pick(cache: jnp.ndarray, xv: jnp.ndarray, yv: jnp.ndarray):
 _GRID_OFFS = (-2, -1, 0, 1, 2, 3)
 
 
+def _stairs_np(n: int, mode: str):
+    """Static numpy twin of the scan's per-axis index staircases
+    (ix_first, ix_last): replicates the traced f32/f64 literal-type
+    chains op for op. The truncations are backend-robust: every
+    division either has an odd numerator over 6 (true value >= 1/6 from
+    any integer, vastly beyond any <=2-ulp division error) or is exact
+    (power-of-two denominators / integer-valued results), so numpy,
+    XLA:CPU and the TPU agree on every trunc. Pinned against the traced
+    chain by tests/test_ast_dense.py::test_stairs_twin."""
+    import jax as _jax
+    import numpy as _np
+
+    use64 = _jax.config.jax_enable_x64
+    x = _np.arange(n, dtype=_np.int64)
+    f32n = _np.float32
+
+    def dbl_div(num_i, denom):
+        num = num_i.astype(_np.float32)
+        if use64:
+            return (num.astype(_np.float64) / denom).astype(_np.float32)
+        return num / f32n(denom)
+
+    def fmul(a, b):
+        if use64:
+            return (
+                _np.asarray(a, _np.float64) * _np.asarray(b, _np.float64)
+            ).astype(_np.float32)
+        return (_np.asarray(a, _np.float32)
+                * _np.asarray(b, _np.float32)).astype(_np.float32)
+
+    if mode == "above_octave":
+        x_1 = dbl_div(4 * x - 3, 6.0)
+        x1 = dbl_div(4 * x + 1, 6.0)
+    elif mode == "above_intra":
+        xsf = x.astype(_np.float32)
+        x_1 = (fmul(f32n(6.0), xsf) - 4) / f32n(8.0)
+        x1 = (fmul(f32n(6.0), xsf) + 2) / f32n(8.0)
+    elif mode == "below_octave":
+        x_1 = dbl_div(8 * x - 3, 6.0)
+        x1 = dbl_div(8 * x + 5, 6.0)
+    else:
+        x_1 = dbl_div(6 * x - 2, 4.0)
+        x1 = dbl_div(6 * x + 4, 4.0)
+    first = _np.trunc(
+        (x_1 + _np.float32(1.0)).astype(_np.float32)
+    ).astype(_np.int64)
+    last = _np.trunc(x1).astype(_np.int64)
+    return first, last
+
+
 def dense_score_patch_max(
     neighbor: AstLayerMaps,
     dst_shape: tuple[int, int],
@@ -180,25 +230,35 @@ def dense_score_patch_max(
     offs = (-2, -1, 0, 1) if n_int == 1 else (-1, 0, 1, 2)
     pos_offs = (-1, 0) if n_int == 1 else (0, 1)
     cache_u8 = cache.astype(jnp.uint8)
-    iy_cat = jnp.concatenate(
-        [jnp.clip(iyf + j, 0, h_n - 1) for j in offs]
-    )
-    rows_cat = jnp.take(cache_u8, iy_cat, axis=0)  # (4h, w_n)
-    ix_cat = jnp.concatenate(
-        [jnp.clip(ixf + k, 0, w_n - 1) for k in offs]
-    )
-    grid = jnp.take(rows_cat, ix_cat, axis=1)      # (4h, 4w)
-    grid = grid.reshape(len(offs), h, len(offs), w)
-    oky = {j: ((iyf + j) >= 3) & ((iyf + j) < h_n - 3) for j in offs}
-    okx = {k: ((ixf + k) >= 3) & ((ixf + k) < w_n - 3) for k in offs}
+    # STATIC index staircases (numpy twin of the traced chain — exact,
+    # see _stairs_np) turn every grid take into zero-padded strided
+    # slices + interleaves (scale_space._periodic_take): no gather at
+    # all in the grid build.
+    import numpy as _np
+
+    from ethzasl_brisk_tpu.detect.scale_space import _periodic_take
+
+    ixf_np, _ = _stairs_np(w, mode)
+    iyf_np, _ = _stairs_np(h, mode)
+    rows_j = {
+        j: _periodic_take(cache_u8, iyf_np + j, 0) for j in offs
+    }
+    oky = {
+        j: jnp.asarray(((iyf_np + j) >= 3) & ((iyf_np + j) < h_n - 3))
+        for j in offs
+    }
+    okx = {
+        k: jnp.asarray(((ixf_np + k) >= 3) & ((ixf_np + k) < w_n - 3))
+        for k in offs
+    }
     D = {
         (j, k): jnp.where(
             oky[j][:, None] & okx[k][None, :],
-            grid[ji, :, ki, :].astype(jnp.int32),
+            _periodic_take(rows_j[j], ixf_np + k, 1).astype(jnp.int32),
             0,
         )
-        for ji, j in enumerate(offs)
-        for ki, k in enumerate(offs)
+        for j in offs
+        for k in offs
     }
 
     def pick_sel(cx_off, cx_vals, cy_off, cy_vals):

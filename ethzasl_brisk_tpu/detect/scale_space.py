@@ -105,6 +105,69 @@ def _trunc_div(val: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.where(val >= 0, val // d, -((-val) // d))
 
 
+def _axis_terms_np(n: int, limit: int, a: int, b: int, d: int):
+    """Static (numpy) warp axis terms: UNCLIPPED C-truncated indices,
+    fraction numerators and validity — exact integer math, so identical
+    to the traced _trunc_div chain on any backend."""
+    import numpy as _np
+
+    val = a * _np.arange(n, dtype=_np.int64) + b
+    i0 = _np.where(val >= 0, val // d, -((-val) // d)).astype(_np.int64)
+    frac = (val - i0 * d).astype(_np.int32)
+    ok = (i0 + 1 < limit) & (i0 >= 0)
+    return i0, frac, ok
+
+
+def _periodic_take(x: jnp.ndarray, idx, axis: int) -> jnp.ndarray:
+    """``jnp.take(x, idx, axis)`` for a STATIC periodic index staircase,
+    built from zero-padding + strided slices + an interleave instead of
+    a gather (gathers cost a flat per-CALL time on the TPU backend —
+    NOTES r4 — and the warp staircases trunc((a*x+b)/d) are periodic
+    with period d/gcd(a, d)). Out-of-range indices read the zero
+    padding; callers mask those outputs anyway (the previous clip-gather
+    read border values there — also masked). Falls back to a clipped
+    gather when no small period fits.
+    """
+    import numpy as _np
+
+    idx = _np.asarray(idx, _np.int64)
+    n = idx.size
+    size = x.shape[axis]
+    p = None
+    for cand in (1, 2, 3, 4, 6, 8):
+        if cand < n and _np.all(
+            idx[cand:] - idx[:-cand] == idx[cand] - idx[0]
+        ):
+            p, q = cand, int(idx[cand] - idx[0])
+            break
+    if p is None or q <= 0:
+        cl = _np.clip(idx, 0, size - 1)
+        return jnp.take(x, jnp.asarray(cl, _np.int32), axis=axis)
+
+    t = -(-n // p)  # ceil
+    starts = [int(idx[r]) for r in range(p)]
+    pad_lo = max(0, -min(starts))
+    pad_hi = max(
+        0, max(s + q * (t - 1) for s in starts) + 1 - size
+    )
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (pad_lo, pad_hi)
+    xp = jnp.pad(x, pad_width) if (pad_lo or pad_hi) else x
+    parts = []
+    for r in range(p):
+        s = starts[r] + pad_lo
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(s, s + q * t, q)
+        parts.append(xp[tuple(sl)])
+    stacked = jnp.stack(parts, axis=axis + 1)  # (..., t, p, ...)
+    new_shape = list(x.shape)
+    new_shape[axis] = t * p
+    out = stacked.reshape(new_shape)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, n)
+    return out[tuple(sl)]
+
+
 def warp_scores_split(
     src_scores: jnp.ndarray,
     affine: tuple[int, int, int],
@@ -125,30 +188,28 @@ def warp_scores_split(
     rows, cols = src_scores.shape
     h, w = dst_shape
 
-    def axis_terms(n, limit):
-        val = a * jnp.arange(n, dtype=jnp.int32) + b
-        i0 = _trunc_div(val, d)
-        frac = val - i0 * d  # numerator of the fractional part (x D)
-        ok = (i0 + 1 < limit) & (i0 >= 0)
-        i0c = jnp.clip(i0, 0, limit - 2)
-        return i0c, frac, ok
-
-    u0, fu, oku = axis_terms(w, cols)
-    v0, fv, okv = axis_terms(h, rows)
+    # Static exact-integer staircases (identical values to the traced
+    # _trunc_div chain); the takes become strided-slice interleaves.
+    u0, fu_np, oku_np = _axis_terms_np(w, cols, a, b, d)
+    v0, fv_np, okv_np = _axis_terms_np(h, rows, a, b, d)
+    fu = jnp.asarray(fu_np)
+    fv = jnp.asarray(fv_np)
 
     s = src_scores.astype(jnp.int32)
     s_hi = s >> 15          # arithmetic shift: floor split, sign in hi
     s_lo = s & 0x7FFF       # in [0, 2^15)
 
     def bilerp(part):
-        # Axis-separable resample: two 1-D takes instead of a 2-D
-        # outer-product gather (the affine maps are monotone per axis).
-        rows0 = jnp.take(part, v0, axis=0)
-        rows1 = jnp.take(part, v0 + 1, axis=0)
-        p00 = jnp.take(rows0, u0, axis=1)
-        p01 = jnp.take(rows0, u0 + 1, axis=1)
-        p10 = jnp.take(rows1, u0, axis=1)
-        p11 = jnp.take(rows1, u0 + 1, axis=1)
+        # Axis-separable resample via static periodic slices (out-of-
+        # range taps read 0-padding; those outputs are masked below —
+        # the previous clip-gather read border values there, equally
+        # masked).
+        rows0 = _periodic_take(part, v0, axis=0)
+        rows1 = _periodic_take(part, v0 + 1, axis=0)
+        p00 = _periodic_take(rows0, u0, axis=1)
+        p01 = _periodic_take(rows0, u0 + 1, axis=1)
+        p10 = _periodic_take(rows1, u0, axis=1)
+        p11 = _periodic_take(rows1, u0 + 1, axis=1)
         fu_ = fu[None, :]
         fv_ = fv[:, None]
         return (d - fv_) * ((d - fu_) * p00 + fu_ * p01) + fv_ * (
@@ -157,7 +218,7 @@ def warp_scores_split(
 
     w_hi = bilerp(s_hi)
     w_lo = bilerp(s_lo)
-    valid = okv[:, None] & oku[None, :]
+    valid = jnp.asarray(okv_np)[:, None] & jnp.asarray(oku_np)[None, :]
     return jnp.where(valid, w_hi, 0), jnp.where(valid, w_lo, 0)
 
 
@@ -178,28 +239,23 @@ def warp_scores_f32(
     rows, cols = src_scores.shape
     h, w = dst_shape
 
-    def axis_terms(n, limit):
-        val = a * jnp.arange(n, dtype=jnp.int32) + b
-        i0 = _trunc_div(val, d)
-        frac = (val - i0 * d).astype(jnp.float32) / float(d)
-        ok = (i0 + 1 < limit) & (i0 >= 0)
-        return jnp.clip(i0, 0, limit - 2), frac, ok
-
-    u0, fu, oku = axis_terms(w, cols)
-    v0, fv, okv = axis_terms(h, rows)
+    u0, fu_np, oku_np = _axis_terms_np(w, cols, a, b, d)
+    v0, fv_np, okv_np = _axis_terms_np(h, rows, a, b, d)
+    fu = jnp.asarray(fu_np.astype("float32") / float(d))
+    fv = jnp.asarray(fv_np.astype("float32") / float(d))
     s = src_scores
-    rows0 = jnp.take(s, v0, axis=0)
-    rows1 = jnp.take(s, v0 + 1, axis=0)
-    p00 = jnp.take(rows0, u0, axis=1)
-    p01 = jnp.take(rows0, u0 + 1, axis=1)
-    p10 = jnp.take(rows1, u0, axis=1)
-    p11 = jnp.take(rows1, u0 + 1, axis=1)
+    rows0 = _periodic_take(s, v0, axis=0)
+    rows1 = _periodic_take(s, v0 + 1, axis=0)
+    p00 = _periodic_take(rows0, u0, axis=1)
+    p01 = _periodic_take(rows0, u0 + 1, axis=1)
+    p10 = _periodic_take(rows1, u0, axis=1)
+    p11 = _periodic_take(rows1, u0 + 1, axis=1)
     fu_ = fu[None, :]
     fv_ = fv[:, None]
     out = (1.0 - fv_) * ((1.0 - fu_) * p00 + fu_ * p01) + fv_ * (
         (1.0 - fu_) * p10 + fu_ * p11
     )
-    valid = okv[:, None] & oku[None, :]
+    valid = jnp.asarray(okv_np)[:, None] & jnp.asarray(oku_np)[None, :]
     return jnp.where(valid, out, 0.0)
 
 

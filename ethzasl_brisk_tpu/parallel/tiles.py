@@ -155,6 +155,41 @@ def _shift_cols(x, dx, fill):
     return _shift2d(x, 0, dx, fill)
 
 
+def _warp_rows_f32(src_ext, src_row0, src_h_global, affine,
+                   dst_rows_global, dst_w):
+    """Tile-windowed variant of scale_space.warp_scores_f32 (the float
+    score path used by the uint16 pipeline): same exact-rational
+    coordinates, fractions evaluated in float32."""
+    a, b, d = affine
+    ext_rows, cols = src_ext.shape
+
+    valc = a * jnp.arange(dst_w, dtype=jnp.int32) + b
+    u0 = _trunc_div(valc, d)
+    fu = (valc - u0 * d).astype(jnp.float32) / float(d)
+    oku = (u0 + 1 < cols) & (u0 >= 0)
+    u0c = jnp.clip(u0, 0, cols - 2)
+
+    valr = a * dst_rows_global + b
+    v0 = _trunc_div(valr, d)
+    fv = (valr - v0 * d).astype(jnp.float32) / float(d)
+    okv = (v0 + 1 < src_h_global) & (v0 >= 0)
+    v0l = jnp.clip(v0 - src_row0, 0, ext_rows - 2)
+
+    rows0 = jnp.take(src_ext, v0l, axis=0)
+    rows1 = jnp.take(src_ext, v0l + 1, axis=0)
+    p00 = jnp.take(rows0, u0c, axis=1)
+    p01 = jnp.take(rows0, u0c + 1, axis=1)
+    p10 = jnp.take(rows1, u0c, axis=1)
+    p11 = jnp.take(rows1, u0c + 1, axis=1)
+    fu_ = fu[None, :]
+    fv_ = fv[:, None]
+    out = (1.0 - fv_) * ((1.0 - fu_) * p00 + fu_ * p01) + fv_ * (
+        (1.0 - fu_) * p10 + fu_ * p11
+    )
+    valid = okv[:, None] & oku[None, :]
+    return jnp.where(valid, out, 0.0)
+
+
 def detect_keypoints_tiled(
     img: jnp.ndarray,
     config: DetectorConfig,
@@ -163,11 +198,14 @@ def detect_keypoints_tiled(
 ) -> KeyPoints:
     """Bitwise-equal ``detect_keypoints`` on one row-sharded frame.
 
-    uint8 / integer-Harris path. Requires every pyramid layer height to
-    be divisible by the mesh axis size.
+    uint8 (integer-Harris) and uint16 (float-Harris, the reference's
+    16-bit sampler pipeline — image-down-sampling.cc:56,394) paths.
+    Requires every pyramid layer height to be divisible by the mesh
+    axis size.
     """
-    if img.dtype != jnp.uint8:
-        raise NotImplementedError("tiled detect: uint8 path only")
+    if img.dtype not in (jnp.uint8, jnp.uint16):
+        raise NotImplementedError("tiled detect: uint8/uint16 only")
+    is_float = img.dtype == jnp.uint16
     n = mesh.shape[axis]
     h, w = img.shape
     n_layers = config.n_layers
@@ -207,12 +245,22 @@ def detect_keypoints_tiled(
                 f"layer {i} tile rows {tl} not even (half sampling)"
             )
 
-    from ethzasl_brisk_tpu.kernels.pallas_harris import (
-        harris_score_i32_fused,
-    )
+    if is_float:
+        from ethzasl_brisk_tpu.kernels.harris import harris_score_f32
 
-    score_fn = harris_score_i32_fused
-    abs_thr = int(config.absolute_threshold)
+        score_fn = harris_score_f32
+        abs_thr = float(config.absolute_threshold)
+        sentinel = -jnp.inf
+        neigh_fill = -jnp.inf
+    else:
+        from ethzasl_brisk_tpu.kernels.pallas_harris import (
+            harris_score_i32_fused,
+        )
+
+        score_fn = harris_score_i32_fused
+        abs_thr = int(config.absolute_threshold)
+        sentinel = INT32_MIN
+        neigh_fill = None  # iinfo min of the score dtype, set below
 
     def tile_fn(img_tile):
         ti = jax.lax.axis_index(axis)
@@ -241,7 +289,11 @@ def detect_keypoints_tiled(
             )
 
             # --- 2-D maxima on the extended map (global border mask).
-            neigh = _neighbor_max(sc_ext, jnp.iinfo(sc_ext.dtype).min)
+            neigh = _neighbor_max(
+                sc_ext,
+                neigh_fill if neigh_fill is not None
+                else jnp.iinfo(sc_ext.dtype).min,
+            )
             mask_ext = (sc_ext >= abs_thr) & (neigh <= sc_ext)
             inb_row = (grow_ext >= 2) & (grow_ext < hl - 2)
             inb_col = jnp.zeros((wl,), bool).at[2 : wl - 2].set(True)
@@ -257,36 +309,60 @@ def detect_keypoints_tiled(
                 dst_rows = (
                     jnp.arange(tl + 2, dtype=jnp.int32) + row0 - 1
                 )
-                w_hi, w_lo = _warp_rows_split(
-                    exts[i + 1], row0s[i + 1] - SCORE_HALO,
-                    heights[i + 1], (a, b, d), dst_rows, wl,
-                )
-                # Out-of-image dst rows contribute 0 (dense _shift2d fill).
                 rok = (dst_rows >= 0) & (dst_rows < hl)
-                w_hi = jnp.where(rok[:, None], w_hi, 0)
-                w_lo = jnp.where(rok[:, None], w_lo, 0)
-                for dy in (-1, 0, 1):
-                    rs = slice(1 + dy, 1 + dy + tl)
-                    for dx in (-1, 0, 1):
-                        mask &= center_ge_warped(
-                            sc_int,
-                            _shift_cols(w_hi[rs], dx, 0),
-                            _shift_cols(w_lo[rs], dx, 0),
-                            d,
-                        )
+                if is_float:
+                    wf = _warp_rows_f32(
+                        exts[i + 1], row0s[i + 1] - SCORE_HALO,
+                        heights[i + 1], (a, b, d), dst_rows, wl,
+                    )
+                    wf = jnp.where(rok[:, None], wf, 0.0)
+                    # max of the 9 shifted maps == the dense separable
+                    # _max3x3_f32 (same 0 fill; f32 max is exact).
+                    m9 = None
+                    for dy in (-1, 0, 1):
+                        rs = slice(1 + dy, 1 + dy + tl)
+                        for dx in (-1, 0, 1):
+                            v = _shift_cols(wf[rs], dx, 0.0)
+                            m9 = v if m9 is None else jnp.maximum(m9, v)
+                    mask &= sc_int >= m9
+                else:
+                    w_hi, w_lo = _warp_rows_split(
+                        exts[i + 1], row0s[i + 1] - SCORE_HALO,
+                        heights[i + 1], (a, b, d), dst_rows, wl,
+                    )
+                    # Out-of-image dst rows contribute 0 (dense
+                    # _shift2d fill).
+                    w_hi = jnp.where(rok[:, None], w_hi, 0)
+                    w_lo = jnp.where(rok[:, None], w_lo, 0)
+                    for dy in (-1, 0, 1):
+                        rs = slice(1 + dy, 1 + dy + tl)
+                        for dx in (-1, 0, 1):
+                            mask &= center_ge_warped(
+                                sc_int,
+                                _shift_cols(w_hi[rs], dx, 0),
+                                _shift_cols(w_lo[rs], dx, 0),
+                                d,
+                            )
             if i > 0:
                 a, b, d = geoms[i].below_map
                 dst_rows = jnp.arange(tl, dtype=jnp.int32) + row0
-                w_hi, w_lo = _warp_rows_split(
-                    exts[i - 1], row0s[i - 1] - SCORE_HALO,
-                    heights[i - 1], (a, b, d), dst_rows, wl,
-                )
-                mask &= center_ge_warped(sc_int, w_hi, w_lo, d)
+                if is_float:
+                    wf = _warp_rows_f32(
+                        exts[i - 1], row0s[i - 1] - SCORE_HALO,
+                        heights[i - 1], (a, b, d), dst_rows, wl,
+                    )
+                    mask &= sc_int >= wf
+                else:
+                    w_hi, w_lo = _warp_rows_split(
+                        exts[i - 1], row0s[i - 1] - SCORE_HALO,
+                        heights[i - 1], (a, b, d), dst_rows, wl,
+                    )
+                    mask &= center_ge_warped(sc_int, w_hi, w_lo, d)
 
             # --- per-tile candidates with GLOBAL flat indices.
             k = min(config.layer_cap(i), hl * wl)
             k_t = min(k, tl * wl)
-            masked = jnp.where(mask, sc_int, INT32_MIN)
+            masked = jnp.where(mask, sc_int, sentinel)
             t_scores, t_idx = jax.lax.top_k(masked.reshape(-1), k_t)
             lys = t_idx // wl
             xs = t_idx % wl
@@ -310,7 +386,10 @@ def detect_keypoints_tiled(
             # ~s = -s-1 is strictly order-reversing WITHOUT the int32
             # overflow of -INT32_MIN (the masked sentinel); stable sort
             # in tile order reproduces dense top_k's flat-index ties.
-            order = jnp.argsort(~gs, stable=True)[:k]
+            # Float scores (uint16 path) negate instead (-(-inf)=inf;
+            # no NaNs; ties incl. +-0.0 stay in stable tile order).
+            key = -gs if is_float else ~gs
+            order = jnp.argsort(key, stable=True)[:k]
             per_layer.append(
                 (gx[order], gy_[order], gs[order], gv[order], gp[order])
             )

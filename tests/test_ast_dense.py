@@ -157,6 +157,57 @@ def test_dense_equals_candidates_v1_eager(img1):
 
 
 @pytest.mark.quick
+def test_stairs_twin():
+    """The numpy index-staircase twin (_stairs_np) must equal the
+    traced f32/f64 chain bit for bit under BOTH x64 settings — the
+    dense grid is built from the twin via static strided slices."""
+    import jax
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.detect.ast_dense import _stairs_np
+    from ethzasl_brisk_tpu.detect.ast_scale_space import (
+        _dbl_div,
+        _fmul,
+        _trunc_i32,
+        f32,
+    )
+
+    def traced(n, mode):
+        xs = jnp.arange(n, dtype=jnp.int32)
+        xsf = xs.astype(f32)
+        if mode == "above_octave":
+            x_1 = _dbl_div((4 * xs - 3).astype(f32), 6.0)
+            x1 = _dbl_div((4 * xs + 1).astype(f32), 6.0)
+        elif mode == "above_intra":
+            x_1 = (_fmul(f32(6.0), xsf) - 4) / f32(8.0)
+            x1 = (_fmul(f32(6.0), xsf) + 2) / f32(8.0)
+        elif mode == "below_octave":
+            x_1 = _dbl_div((8 * xs - 3).astype(f32), 6.0)
+            x1 = _dbl_div((8 * xs + 5).astype(f32), 6.0)
+        else:
+            x_1 = _dbl_div((6 * xs - 2).astype(f32), 4.0)
+            x1 = _dbl_div((6 * xs + 4).astype(f32), 4.0)
+        return (
+            np.asarray(_trunc_i32(x_1 + 1)),
+            np.asarray(_trunc_i32(x1)),
+        )
+
+    for use64 in (False, True):
+        with jax.enable_x64(use64):
+            for mode in ("above_octave", "above_intra",
+                         "below_octave", "below_intra"):
+                for n in (107, 214, 321, 427, 641):
+                    tf, tl = traced(n, mode)
+                    sf, sl = _stairs_np(n, mode)
+                    np.testing.assert_array_equal(
+                        tf, sf, err_msg=f"{mode} n={n} x64={use64}"
+                    )
+                    np.testing.assert_array_equal(
+                        tl, sl, err_msg=f"{mode} n={n} x64={use64}"
+                    )
+
+
+@pytest.mark.quick
 def test_dense_facade_dispatch(img1):
     """BriskFeatureDetector(detect_impl='dense') routes to the dense
     engine and matches the candidate facade (jit-level strictness)."""

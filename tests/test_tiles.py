@@ -68,6 +68,47 @@ def test_tiled_equals_dense(uradius):
 
 
 @pytest.mark.slow
+def test_tiled_uint16_equals_dense():
+    """The 16-bit pipeline (float Harris scores, the reference's
+    16-bit samplers — image-down-sampling.cc:56,394) tile-sharded vs
+    dense (r4 verdict: the tiled path guarded to uint8).
+
+    DECISIONS (valid/octave/size — the detection set) must be bitwise;
+    x/y/response carry f32 Harris scores whose last ULP legally
+    differs between the shard_map manual region and a plain jit
+    (XLA:CPU fusion-context FMA contraction — the same artifact the
+    module docs record for the refine chain; the integer uint8 path is
+    exempt because its scores are exact int32)."""
+    mesh = _mesh(8)
+    img8 = _smooth_frame(240, 384, 5)
+    img = jnp.asarray(img8.astype(np.uint16) * 257)
+    cfg = DetectorConfig(
+        octaves=2,
+        uniformity_radius=30.0,
+        absolute_threshold=20.0,
+        max_candidates=2048,
+        max_keypoints=512,
+        max_num_kpt=512,
+    )
+    dense = jax.jit(lambda im: detect_keypoints(im, cfg))(img)
+    tiled = detect_keypoints_tiled(img, cfg, mesh, axis="data")
+    av = np.asarray(dense.valid)
+    bv = np.asarray(tiled.valid)
+    assert np.array_equal(av, bv)
+    for f in ("size", "angle", "octave"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dense, f))[av],
+            np.asarray(getattr(tiled, f))[bv],
+        )
+    for f in ("x", "y", "response"):
+        a = np.asarray(getattr(dense, f))[av]
+        b = np.asarray(getattr(tiled, f))[bv]
+        assert float(np.mean(a == b)) > 0.5, f  # mostly bitwise
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+    assert int(av.sum()) > 50
+
+
+@pytest.mark.slow
 def test_tiled_four_devices():
     mesh = _mesh(4)
     img = jnp.asarray(_smooth_frame(240, 400, 9))
