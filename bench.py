@@ -164,22 +164,16 @@ def main() -> None:
         # the batch describable count). The timed pipeline then runs
         # the same backends.
         from ethzasl_brisk_tpu.describe.extractor import (
-            extract_descriptors_compact,
+            describable_count,
         )
 
         def _flags(pat, fr):
             kps, diags = jax.vmap(feature.detect_with_diagnostics)(fr)
             ok_all = jnp.all(diags.ok)
             if feature.describe_capacity:
-                _, _, n_desc = extract_descriptors_compact(
+                n_desc = describable_count(
                     pat, fr, kps,
-                    capacity=feature.describe_capacity * fr.shape[0],
-                    rotation_invariant=feature.rotation_invariant,
                     scale_invariant=feature.scale_invariant,
-                    sampler=feature.sampler,
-                    patch_h=feature.patch_h,
-                    patch_w=feature.patch_w,
-                    with_diagnostics=True,
                 )
                 ok_all &= n_desc <= (
                     feature.describe_capacity * fr.shape[0]
@@ -511,30 +505,27 @@ def main() -> None:
     print(json.dumps(payload))
 
 
-def main_ast(batch: int, iters: int) -> None:
-    """Classic-BRISK (AGAST/OAST) batched pipeline benchmark
-    (BENCH_PIPELINE=ast): BriskFeatureDetector(70, octaves=3) semantics
-    on the same frames, detect+describe+match, same honest timing."""
-    import jax
-    import jax.numpy as jnp
+def _ast_detector_from_env():
+    """The AST bench detector (shared by main_ast and the subprocess
+    describe-capacity cert).
 
-    from ethzasl_brisk_tpu.parallel import make_mesh
-    from ethzasl_brisk_tpu.parallel.frames import AstFramePipeline
+    Per-layer candidate caps: detect cost scales ~linearly with the
+    slot total (probe_ast_caps r4: 2048/layer = 1389 ms/b16, 512 =
+    443). Bench-frame corner counts at thr=70 are (346, 276, 231,
+    110, 65, 30) max — the default caps keep ~2.1x headroom per layer
+    and are certified on the bench frames before timing.
+    BENCH_AST_CANDS accepts an int or a comma list.
+    """
     from ethzasl_brisk_tpu.pipeline import BriskFeatureDetector
 
-    # Per-layer candidate caps: detect cost scales ~linearly with the
-    # slot total (probe_ast_caps r4: 2048/layer = 1389 ms/b16, 512 =
-    # 443). Bench-frame corner counts at thr=70 are (346, 276, 231,
-    # 110, 65, 30) max — these caps keep ~2.1x headroom per layer
-    # (31.2 -> 38.3 fps over the previous 1024..128 set, identical
-    # keypoints; the corner counts are certified on the bench frames
-    # below). BENCH_AST_CANDS accepts an int or a comma list.
-    cands_env = os.environ.get("BENCH_AST_CANDS", "768,576,512,256,128,64")
+    cands_env = os.environ.get(
+        "BENCH_AST_CANDS", "768,576,512,256,128,64"
+    )
     cands = (
         tuple(int(c) for c in cands_env.split(","))
         if "," in cands_env else int(cands_env)
     )
-    detector = BriskFeatureDetector(
+    return BriskFeatureDetector(
         threshold=int(os.environ.get("BENCH_AST_THRESHOLD", "70")),
         octaves=int(os.environ.get("BENCH_AST_OCTAVES", "3")),
         max_candidates_per_layer=cands,
@@ -546,17 +537,52 @@ def main_ast(batch: int, iters: int) -> None:
         # faster (746 vs 1442 ms detect/batch64).
         detect_impl=os.environ.get("BENCH_AST_IMPL", "dense"),
     )
+
+
+def ast_describe_count_main(n: int) -> None:
+    """Subprocess cert helper: print the describable count of the
+    first n bench frames under the env-configured AST detector."""
+    import jax
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.describe.extractor import describable_count
+
+    detector = _ast_detector_from_env()
+    frames = jnp.asarray(bench_frames(n))
+    det = jax.jit(jax.vmap(detector.detect))(frames)
+    n_desc = int(np.asarray(jax.jit(
+        lambda p, f, k: describable_count(
+            p, f, k, scale_invariant=detector.scale_invariant
+        )
+    )(detector.extractor.pattern, frames, det)))
+    print(n_desc)
+
+
+def main_ast(batch: int, iters: int) -> None:
+    """Classic-BRISK (AGAST/OAST) batched pipeline benchmark
+    (BENCH_PIPELINE=ast): BriskFeatureDetector(70, octaves=3) semantics
+    on the same frames, detect+describe+match, same honest timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from ethzasl_brisk_tpu.parallel import make_mesh
+    from ethzasl_brisk_tpu.parallel.frames import AstFramePipeline
+    from ethzasl_brisk_tpu.pipeline import BriskFeatureDetector
+
+    detector = _ast_detector_from_env()
     mesh = make_mesh(1, 1)
     pipe = AstFramePipeline(
         detector=detector, mesh=mesh,
         # r4: single-call pallas + valid compaction wins at AST sizes
         # (65.4 vs 119.6 ms/batch16 describe — profile_ast2).
         sampler=os.environ.get("BENCH_SAMPLER", "patch_pallas"),
-        # 512 certified against the batch describable counts on the
-        # bench frames (max 410 valid/frame); 640 -> 512 measured
-        # 57.9 -> 66.2 fps at batch 96.
+        # Certified against the batch describable counts on the bench
+        # frames below (true need 371/frame mean; cap sweep at b96:
+        # 640 -> 57.9, 512 -> 66.2, 448 -> 70.0, 416 -> 71.7, 384 ->
+        # 73.8 fps with 3.5% headroom, 352 DROPPED WHOLE FRAMES —
+        # caught by the cert). Default 400 keeps ~8% headroom.
         describe_capacity=int(
-            os.environ.get("BENCH_DESCRIBE_CAP", "512")
+            os.environ.get("BENCH_DESCRIBE_CAP", "400")
         ),
     )
     frames = jnp.asarray(bench_frames(batch))
@@ -584,6 +610,44 @@ def main_ast(batch: int, iters: int) -> None:
         )
         print("ast candidate caps certified on bench frames",
               file=sys.stderr)
+
+    if pipe.describe_capacity:
+        # Describe valid-compaction budget: the batch describable
+        # count must fit batch*capacity (overflow silently drops the
+        # flat-order tail — the 352-cap sweep dropped WHOLE frames,
+        # caught only by the keypoints/frame min=0 tripwire before
+        # this cert existed). True count on these frames: 371/frame
+        # mean (301/383/390/410 per crop).
+        # Certify in a SUBPROCESS: running the cert's detect executable
+        # in this process consistently left the tunnel runtime in a
+        # state where the next (near-HBM-ceiling, ~14 of 15.75 GB at
+        # batch 96) pipeline launch failed with InvalidArgument — even
+        # after jax.clear_caches(); process isolation sidesteps it.
+        # The bench frames cycle 4 unique crops, so a 16-frame prefix
+        # count scales exactly to the batch total.
+        import subprocess
+
+        n_uniq = 16 if frames.shape[0] % 16 == 0 else frames.shape[0]
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--ast-describe-count", str(n_uniq)],
+            capture_output=True, text=True, timeout=1200,
+            env=dict(os.environ),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        n_desc = int(r.stdout.strip().splitlines()[-1]) * (
+            frames.shape[0] // n_uniq
+        )
+        cap_total = pipe.describe_capacity * frames.shape[0]
+        assert n_desc <= cap_total, (
+            f"AST describe capacity overflow on bench frames "
+            f"({n_desc} describable > {cap_total}) — raise "
+            "BENCH_DESCRIBE_CAP"
+        )
+        print(
+            f"ast describe capacity certified ({n_desc} <= "
+            f"{cap_total})", file=sys.stderr,
+        )
 
     # Backend burn-in with a SEPARATE small executable: the first timed
     # region in a process reads up to 2x slow through the tunnel even
@@ -645,4 +709,7 @@ def main_ast(batch: int, iters: int) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ast-describe-count":
+        ast_describe_count_main(int(sys.argv[2]))
+    else:
+        main()

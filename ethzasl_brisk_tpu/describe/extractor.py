@@ -739,13 +739,7 @@ def extract_descriptors_compact(
     # Applying the same border test BEFORE compaction is value-neutral
     # for every described keypoint and lets `capacity` track the
     # describable population.
-    scale_idx_c = scale_index(flat_kp.size, scale_invariant)
-    bf_c = pat.size_list[scale_idx_c].astype(jnp.float32)
-    describable = (
-        flat_kp.valid
-        & (flat_kp.x >= bf_c) & (flat_kp.x < w - bf_c)
-        & (flat_kp.y >= bf_c) & (flat_kp.y < h - bf_c)
-    )
+    describable = _describable_mask(pat, h, w, flat_kp, scale_invariant)
     order = jnp.argsort(~describable, stable=True)  # describable first
     sel = order[:capacity]
     comp_kp = jax.tree_util.tree_map(
@@ -794,6 +788,35 @@ def extract_descriptors_compact(
     if with_diagnostics:
         return out_kp, desc, jnp.sum(describable.astype(jnp.int32))
     return out_kp, desc
+
+
+def _describable_mask(pat, h, w, flat_kp, scale_invariant=True):
+    """The DESCRIBABLE predicate (valid AND inside the pattern border —
+    the RoiPredicate filter _describe_core applies,
+    brisk-descriptor-extractor.cc:532-536). Single source of truth for
+    extract_descriptors_compact's budget AND the capacity certs."""
+    scale_idx_c = scale_index(flat_kp.size, scale_invariant)
+    bf_c = pat.size_list[scale_idx_c].astype(jnp.float32)
+    return (
+        flat_kp.valid
+        & (flat_kp.x >= bf_c) & (flat_kp.x < w - bf_c)
+        & (flat_kp.y >= bf_c) & (flat_kp.y < h - bf_c)
+    )
+
+
+def describable_count(pat, imgs, keypoints, *, scale_invariant=True):
+    """Batch-total describable keypoints — the exact population
+    ``extract_descriptors_compact``'s ``capacity`` must cover. Cheap
+    (no sampling): certify ``describable_count(...) <= capacity``
+    before enabling a compaction budget on new data (bench.py does)."""
+    _, h, w = imgs.shape
+    flat_kp = jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), keypoints
+    )
+    return jnp.sum(
+        _describable_mask(pat, h, w, flat_kp, scale_invariant)
+        .astype(jnp.int32)
+    )
 
 
 def _stack_frames(imgs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
