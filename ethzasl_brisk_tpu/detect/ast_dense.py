@@ -86,6 +86,9 @@ def _sep_pick(cache: jnp.ndarray, xv: jnp.ndarray, yv: jnp.ndarray):
 
 
 _GRID_OFFS = (-2, -1, 0, 1, 2, 3)
+# Per-2048-block top-r budget for the corner-extraction block top-k
+# (max per-block corner count is certified by ast_capacity_diagnostics).
+_EXTRACT_BLOCK_R = 256
 
 
 def _stairs_np(n: int, mode: str):
@@ -1214,6 +1217,7 @@ def detect_ast_keypoints_dense(
 
     per_layer = []
     corner_counts = []
+    extract_exact = []
     for i in range(n_layers):
         e_q, e_p, pre = aux[i]
         is2d2 = dense_is_max_2d(layers[i], e_q, e_p, pre)
@@ -1223,12 +1227,38 @@ def detect_ast_keypoints_dense(
         h, w = layer.img.shape
         ls = f32(layer.scale)
         lo = f32(layer.offset)
-        ys, xs = jnp.nonzero(layer.corner, size=cap, fill_value=0)
-        xs = xs.astype(jnp.int32)
-        ys = ys.astype(jnp.int32)
+        # Candidate extraction == jnp.nonzero(corner, size=cap,
+        # fill_value=0), but via the exact two-stage block top-k over
+        # NEGATED flat indices: nonzero lowers to a full-size sort
+        # (~35 ms for a (64, 307k) map — NOTES), while the block
+        # top-k sorts only 2048-element blocks. Keys are distinct, so
+        # descending -idx == ascending row-major flat index — the
+        # nonzero order exactly; fill slots are forced to 0 like
+        # nonzero's fill_value. Exact whenever no 2048-block holds
+        # more than r corners at/above the cap-th key (sharp flag,
+        # folded into the diagnostics; certified by
+        # ast_capacity_diagnostics on the bench frames).
+        from ethzasl_brisk_tpu.kernels.topk import (
+            INT32_MIN as _IMIN,
+            topk_block,
+        )
+
+        rm_flat = jnp.arange(h * w, dtype=jnp.int32)
+        key = jnp.where(layer.corner.reshape(-1), -rm_flat, _IMIN)
+        kcap = min(cap, h * w)
+        kv, kidx, k_exact = topk_block(
+            key, kcap, block=2048, r=_EXTRACT_BLOCK_R
+        )
         n_corners = jnp.sum(layer.corner.astype(jnp.int32))
         corner_counts.append(n_corners)
+        extract_exact.append(k_exact)
         valid = jnp.arange(cap) < n_corners
+        slot_ok = (kv > _IMIN) & valid[:kcap]
+        idx = jnp.where(slot_ok, kidx, 0)
+        if kcap < cap:
+            idx = jnp.pad(idx, (0, cap - kcap))
+        ys = idx // w
+        xs = idx % w
 
         # Per-candidate refinement tail (mirrors _process_layer).
         if n_layers == 1:
@@ -1279,7 +1309,10 @@ def detect_ast_keypoints_dense(
         counts = jnp.stack(corner_counts)
         caps_arr = jnp.asarray(caps[:n_layers], jnp.int32)
         diag = AstDiagnostics(
-            ok=jnp.all(counts <= caps_arr),
+            ok=(
+                jnp.all(counts <= caps_arr)
+                & jnp.all(jnp.stack(extract_exact))
+            ),
             corner_counts=counts,
             cand_caps=caps_arr,
         )

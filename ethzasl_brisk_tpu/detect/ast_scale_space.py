@@ -1169,8 +1169,21 @@ def ast_capacity_diagnostics(
         [jnp.sum(la.corner.astype(jnp.int32)) for la in layers]
     )
     caps_arr = jnp.asarray(caps[:n_layers], jnp.int32)
+    # The dense engine (ast_dense) extracts corners with a per-2048-
+    # block top-r (r = _EXTRACT_BLOCK_R = 256): no block may hold more
+    # corners (a sufficient bound for its sharp exactness flag, which
+    # detect-side diagnostics also carry).
+    block_ok = jnp.bool_(True)
+    for la in layers:
+        cm = la.corner.reshape(-1).astype(jnp.int32)
+        pad = (-cm.size) % 2048
+        if pad:
+            cm = jnp.pad(cm, (0, pad))
+        block_ok &= (
+            jnp.max(jnp.sum(cm.reshape(-1, 2048), axis=1)) <= 256
+        )
     return AstDiagnostics(
-        ok=jnp.all(counts <= caps_arr),
+        ok=jnp.all(counts <= caps_arr) & block_ok,
         corner_counts=counts,
         cand_caps=caps_arr,
     )
