@@ -706,7 +706,15 @@ def dense_is_max_2d(
         + jnp.arange(w, dtype=jnp.int32)[None, :]
     )
     inb = jnp.zeros((h, w), bool).at[3: h - 3, 3: w - 3].set(True)
-    center = layer.cache
+    # int16 value arithmetic throughout: scores are <= 255 (cache =
+    # max(t*, thrmap), both u8-ranged; t* border is -1), the largest
+    # sum is the 14-weight tie smoothing <= 14*255 = 3570 << 32767 —
+    # every comparison is exact in i16, at half the HBM traffic of the
+    # i32 maps. Index comparisons (e_query/e_patch vs rm) stay i32.
+    i16 = jnp.int16
+    center = layer.cache.astype(i16)
+    cache16 = center
+    t16 = layer.t_star.astype(i16)
     if e_query is None:
         e_query = earliest_toucher_map(layer)
 
@@ -714,11 +722,11 @@ def dense_is_max_2d(
         """Dense _int_score at offset (ox, oy): the IsMax2D neighbour
         query GetAgastScore(x+ox, y+oy, center)."""
         cnr = _shift_bool(layer.corner, oy, ox)
-        cch = _shift_i32(layer.cache, oy, ox)
-        ts = _shift_i32(layer.t_star, oy, ox)
+        cch = _shift_i32(cache16, oy, ox)
+        ts = _shift_i32(t16, oy, ox)
         inb_s = _shift_bool(inb, oy, ox)
-        fresh = jnp.where(ts >= center, ts, 0)
-        return jnp.where(inb_s, jnp.where(cnr, cch, fresh), 0)
+        fresh = jnp.where(ts >= center, ts, i16(0))
+        return jnp.where(inb_s, jnp.where(cnr, cch, fresh), i16(0))
 
     neigh = {(dx, dy): int_score(dx, dy) for dx, dy in _NEIGH8}
     reject = jnp.zeros((h, w), bool)
@@ -730,15 +738,15 @@ def dense_is_max_2d(
     s_1_1, s1_1 = neigh[(-1, -1)], neigh[(1, -1)]
     s_11, s11 = neigh[(-1, 1)], neigh[(1, 1)]
     smoothed_center = (
-        4 * center + 2 * (s_10 + s10 + s0_1 + s01)
+        i16(4) * center + i16(2) * (s_10 + s10 + s0_1 + s01)
         + s_1_1 + s1_1 + s_11 + s11
     )
 
     def raw(ox, oy):
         """Dense raw scores_ read at offset (ox, oy), |ox|,|oy| <= 2."""
         q_corner = _shift_bool(layer.corner, oy, ox)
-        q_cache = _shift_i32(layer.cache, oy, ox)
-        q_t = _shift_i32(layer.t_star, oy, ox)
+        q_cache = _shift_i32(cache16, oy, ox)
+        q_t = _shift_i32(t16, oy, ox)
         q_early = _shift_i32(e_query, oy, ox, fill=_INF)
         own = (abs(ox) <= 1) and (abs(oy) <= 1)  # static
         touched_q = q_early < rm
@@ -752,7 +760,7 @@ def dense_is_max_2d(
         val = jnp.where(
             thr1 & (q_t >= 1),
             q_t,
-            jnp.where(touched_q & (q_t > 2), q_t, 0),
+            jnp.where(touched_q & (q_t > 2), q_t, i16(0)),
         )
         return jnp.where(q_corner, q_cache, val)
 
