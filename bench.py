@@ -69,11 +69,12 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "12"))
 
     if os.environ.get("BENCH_PIPELINE", "harris") == "ast":
-        # Batch sweep with the dense detect engine (2026-08-20):
-        # 64 -> 52.8, 96 -> 57.9 fps; the candidate engine OOMed HBM
-        # at 128 (15.9 GB of per-layer maps).
+        # Batch sweep with the final dense detect engine (2026-08-21):
+        # 64 -> 116.3, 80 -> 117.4, 96 -> 113.7 fps (128 OOMs HBM) —
+        # the faster detect moved the sweet spot below the HBM
+        # pressure knee.
         return main_ast(
-            int(os.environ.get("BENCH_BATCH", "96")), iters
+            int(os.environ.get("BENCH_BATCH", "80")), iters
         )
 
     # Per-layer candidate caps: per-candidate cost (uniformity, refine,
@@ -135,12 +136,11 @@ def main() -> None:
         fused_mask=bool(os.environ.get("BENCH_FUSED_MASK")),
         # Valid-compaction describe budget per frame (sampler cost is
         # per-SLOT; bench frames describe ~441/frame after the border
-        # filter). 480 keeps ~9% headroom over the TRUE batch-total
-        # describable count, which the certification below verifies
-        # device-side before every timed run (512 was measured 253 fps
-        # at cap 576 and the conservative accepted-count bound caught
-        # 512 before the cert switched to the true described count).
-        describe_capacity=int(os.environ.get("BENCH_DESCRIBE_CAP", "480")),
+        # filter). The certification below verifies the true batch
+        # describable count fits device-side before every timed run.
+        # r5 sweep at b128: 480 -> 308.7, 464 -> 317.1, 448 -> 322.2
+        # fps (448 is <2% headroom — 464 balances headroom vs speed).
+        describe_capacity=int(os.environ.get("BENCH_DESCRIBE_CAP", "464")),
     )
     mesh = make_mesh(1, 1)
     pipe = FramePipeline(feature=feature, mesh=mesh)
