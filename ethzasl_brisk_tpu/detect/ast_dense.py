@@ -162,11 +162,11 @@ def dense_score_patch_max(
 
     Every read this scan makes — int probes, bilinear taps, the
     tie-break smoothing sums, the data-dependent sub-pixel patch — lies
-    at a per-axis offset in [-2, 3] of (ix_first, iy_first), so the
-    whole scan's memory traffic is ONE row-take + ONE col-take into a
-    6x6 offset grid; everything downstream is elementwise selects over
-    grid slices (gathers cost a flat ~2-5 ms per CALL on this backend
-    regardless of size — NOTES r4 — so call count, not volume, binds).
+    at a per-axis offset in a 4-wide window of (ix_first, iy_first), so
+    the whole scan's memory traffic is a 4x4 uint8 offset grid built
+    from STATIC periodic strided slices (no gather at all — the index
+    staircases are exact numpy twins, _stairs_np); everything
+    downstream is elementwise selects over grid slices.
     """
     h, w = dst_shape
     threshold = (thr + drop).astype(f32)
