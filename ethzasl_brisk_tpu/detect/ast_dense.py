@@ -695,74 +695,109 @@ def dense_is_max_2d(
     e_query: Optional[jnp.ndarray] = None,
     e_patch: Optional[jnp.ndarray] = None,
     prefill: Optional[jnp.ndarray] = None,
+    _shared: Optional[dict] = None,
+    _return_shared: bool = False,
 ):
     """Dense emulated-cache IsMax2D: a bool map (meaningful at corner
     pixels; corners sit >= 3 from every border so all +-2 shifted reads
     stay inside the array, matching the candidate path's clip-gathers).
+
+    The two emulation passes differ ONLY through the thr1 term
+    (e_patch/prefill seeds) inside the raw reads; everything else —
+    the neighbour scores, the smoothed center, the earliest-toucher
+    'touched' masks and the no-seed raw base values — is pass-invariant.
+    Pass 1 returns it via ``_return_shared``; pass 2 reuses it through
+    ``_shared`` (identical values by construction — the shared pieces
+    are the same traced subexpressions, not re-derived).
     """
     h, w = layer.img.shape
-    rm = (
-        jnp.arange(h, dtype=jnp.int32)[:, None] * w
-        + jnp.arange(w, dtype=jnp.int32)[None, :]
-    )
-    inb = jnp.zeros((h, w), bool).at[3: h - 3, 3: w - 3].set(True)
-    # int16 value arithmetic throughout: scores are <= 255 (cache =
-    # max(t*, thrmap), both u8-ranged; t* border is -1), the largest
-    # sum is the 14-weight tie smoothing <= 14*255 = 3570 << 32767 —
-    # every comparison is exact in i16, at half the HBM traffic of the
-    # i32 maps. Index comparisons (e_query/e_patch vs rm) stay i32.
-    i16 = jnp.int16
-    center = layer.cache.astype(i16)
-    cache16 = center
-    t16 = layer.t_star.astype(i16)
-    if e_query is None:
-        e_query = earliest_toucher_map(layer)
+    if _shared is None:
+        rm = (
+            jnp.arange(h, dtype=jnp.int32)[:, None] * w
+            + jnp.arange(w, dtype=jnp.int32)[None, :]
+        )
+        inb = jnp.zeros((h, w), bool).at[3: h - 3, 3: w - 3].set(True)
+        # int16 value arithmetic throughout: scores are <= 255 (cache =
+        # max(t*, thrmap), both u8-ranged; t* border is -1), the
+        # largest sum is the 14-weight tie smoothing <= 14*255 = 3570
+        # << 32767 — every comparison is exact in i16 at half the HBM
+        # traffic. Index comparisons (e_query/e_patch vs rm) stay i32.
+        i16 = jnp.int16
+        center = layer.cache.astype(i16)
+        t16 = layer.t_star.astype(i16)
+        if e_query is None:
+            e_query = earliest_toucher_map(layer)
 
-    def int_score(ox, oy):
-        """Dense _int_score at offset (ox, oy): the IsMax2D neighbour
-        query GetAgastScore(x+ox, y+oy, center)."""
-        cnr = _shift_bool(layer.corner, oy, ox)
-        cch = _shift_i32(cache16, oy, ox)
-        ts = _shift_i32(t16, oy, ox)
-        inb_s = _shift_bool(inb, oy, ox)
-        fresh = jnp.where(ts >= center, ts, i16(0))
-        return jnp.where(inb_s, jnp.where(cnr, cch, fresh), i16(0))
+        def int_score(ox, oy):
+            """Dense _int_score at offset (ox, oy): the IsMax2D
+            neighbour query GetAgastScore(x+ox, y+oy, center)."""
+            cnr = _shift_bool(layer.corner, oy, ox)
+            cch = _shift_i32(center, oy, ox)
+            ts = _shift_i32(t16, oy, ox)
+            inb_s = _shift_bool(inb, oy, ox)
+            fresh = jnp.where(ts >= center, ts, i16(0))
+            return jnp.where(inb_s, jnp.where(cnr, cch, fresh), i16(0))
 
-    neigh = {(dx, dy): int_score(dx, dy) for dx, dy in _NEIGH8}
-    reject = jnp.zeros((h, w), bool)
-    for v in neigh.values():
-        reject |= v > center
+        neigh = {(dx, dy): int_score(dx, dy) for dx, dy in _NEIGH8}
+        reject0 = jnp.zeros((h, w), bool)
+        for v in neigh.values():
+            reject0 |= v > center
 
-    s_10, s10 = neigh[(-1, 0)], neigh[(1, 0)]
-    s0_1, s01 = neigh[(0, -1)], neigh[(0, 1)]
-    s_1_1, s1_1 = neigh[(-1, -1)], neigh[(1, -1)]
-    s_11, s11 = neigh[(-1, 1)], neigh[(1, 1)]
-    smoothed_center = (
-        i16(4) * center + i16(2) * (s_10 + s10 + s0_1 + s01)
-        + s_1_1 + s1_1 + s_11 + s11
-    )
+        s_10, s10 = neigh[(-1, 0)], neigh[(1, 0)]
+        s0_1, s01 = neigh[(0, -1)], neigh[(0, 1)]
+        s_1_1, s1_1 = neigh[(-1, -1)], neigh[(1, -1)]
+        s_11, s11 = neigh[(-1, 1)], neigh[(1, 1)]
+        smoothed_center = (
+            i16(4) * center + i16(2) * (s_10 + s10 + s0_1 + s01)
+            + s_1_1 + s1_1 + s_11 + s11
+        )
+
+        off = {}
+        for ox in range(-2, 3):
+            for oy in range(-2, 3):
+                q_corner = _shift_bool(layer.corner, oy, ox)
+                q_cache = _shift_i32(center, oy, ox)
+                q_t = _shift_i32(t16, oy, ox)
+                q_early = _shift_i32(e_query, oy, ox, fill=_INF)
+                own = (abs(ox) <= 1) and (abs(oy) <= 1)  # static
+                touched_q = q_early < rm
+                if own:
+                    touched_q |= center <= q_t
+                # Raw read with NO seeds (pass 1); pass 2 layers its
+                # thr1 term on top of this exact expression.
+                val_base = jnp.where(
+                    touched_q & (q_t > 2), q_t, i16(0)
+                )
+                off[(ox, oy)] = dict(
+                    q_corner=q_corner, q_cache=q_cache, q_t=q_t,
+                    val_base=val_base,
+                )
+        _shared = dict(
+            rm=rm, center=center, neigh=neigh, reject0=reject0,
+            smoothed=smoothed_center, off=off,
+        )
+
+    rm = _shared["rm"]
+    center = _shared["center"]
+    neigh = _shared["neigh"]
+    smoothed_center = _shared["smoothed"]
+    off = _shared["off"]
+    reject = _shared["reject0"]
 
     def raw(ox, oy):
         """Dense raw scores_ read at offset (ox, oy), |ox|,|oy| <= 2."""
-        q_corner = _shift_bool(layer.corner, oy, ox)
-        q_cache = _shift_i32(cache16, oy, ox)
-        q_t = _shift_i32(t16, oy, ox)
-        q_early = _shift_i32(e_query, oy, ox, fill=_INF)
-        own = (abs(ox) <= 1) and (abs(oy) <= 1)  # static
-        touched_q = q_early < rm
-        if own:
-            touched_q |= center <= q_t
+        o = off[(ox, oy)]
+        if e_patch is None and prefill is None:
+            return jnp.where(o["q_corner"], o["q_cache"], o["val_base"])
         thr1 = jnp.zeros((h, w), bool)
         if e_patch is not None:
             thr1 |= _shift_i32(e_patch, oy, ox, fill=_INF) < rm
         if prefill is not None:
             thr1 |= _shift_bool(prefill, oy, ox)
         val = jnp.where(
-            thr1 & (q_t >= 1),
-            q_t,
-            jnp.where(touched_q & (q_t > 2), q_t, i16(0)),
+            thr1 & (o["q_t"] >= 1), o["q_t"], o["val_base"]
         )
-        return jnp.where(q_corner, q_cache, val)
+        return jnp.where(o["q_corner"], o["q_cache"], val)
 
     raws = {
         (ox, oy): raw(ox, oy)
@@ -784,7 +819,8 @@ def dense_is_max_2d(
         )
         reject |= tied & (other > smoothed_center)
 
-    return ~reject
+    is2d = ~reject
+    return (is2d, _shared) if _return_shared else is2d
 
 
 # ---------------------------------------------------------------------------
@@ -1208,10 +1244,13 @@ def detect_ast_keypoints_dense(
 
     etm = [earliest_toucher_map(la) for la in layers]
     pass1 = []
+    shared = [None] * n_layers
     for i in range(n_layers):
         hw = layers[i].img.shape
         ones = jnp.ones(hw, bool)
-        is2d = dense_is_max_2d(layers[i], etm[i], None, None)
+        is2d, shared[i] = dense_is_max_2d(
+            layers[i], etm[i], None, None, _return_shared=True
+        )
         ia = ~above_pr[i]["exceeded"] if above_pr[i] is not None else ones
         ib = ~below_pr[i]["exceeded"] if below_pr[i] is not None else ones
         pass1.append(
@@ -1228,7 +1267,9 @@ def detect_ast_keypoints_dense(
     extract_exact = []
     for i in range(n_layers):
         e_q, e_p, pre = aux[i]
-        is2d2 = dense_is_max_2d(layers[i], e_q, e_p, pre)
+        is2d2 = dense_is_max_2d(
+            layers[i], e_q, e_p, pre, _shared=shared[i]
+        )
 
         layer = layers[i]
         cap = caps[i]
