@@ -117,19 +117,26 @@ def main() -> None:
         # top_k win — launch-latency-bound.
         topk_impl=os.environ.get("BENCH_TOPK", "block"),
         topk_block_size=int(os.environ.get("BENCH_TOPK_BLOCK", "2048")),
-        topk_block_r=int(os.environ.get("BENCH_TOPK_R", "256")),
+        # r sizes stage 2 (global top-k over nb*r survivors). Measured
+        # per-block maxima max 66 at bench shapes (probe_block_topk);
+        # r=96 keeps 1.45x headroom over that AND the sharp exactness
+        # flag is certified below every run. r5 sweep at b128:
+        # 256 -> 323.3, 96 -> 327.9 fps (min-of-3 each).
+        topk_block_r=int(os.environ.get("BENCH_TOPK_R", "96")),
         uniformity_block=int(os.environ.get("BENCH_UNIBLOCK", "256")),
         # Refine-tail slots (gather cost ~ slots; accepted counts on
-        # the bench frames are ~317/137/87/50 per layer -> 2.4-2.9x
-        # headroom, certified below). "0" disables; a default tuple
-        # only applies at its octaves=2 layer count.
+        # the bench frames are ~317/137/87/50 per layer -> 1.2-1.5x
+        # headroom, certified below every run). r5 sweep at b128 with
+        # r=96: 768,384,256,128 -> 327.9, 384,192,128,64 -> 343.0 fps.
+        # "0" disables; a default tuple only applies at its octaves=2
+        # layer count.
         refine_capacity=(
             None
             if os.environ.get("BENCH_REFINE_CAP", "") == "0"
             or (octaves != 2 and "BENCH_REFINE_CAP" not in os.environ)
             else tuple(
                 int(c) for c in os.environ.get(
-                    "BENCH_REFINE_CAP", "768,384,256,128"
+                    "BENCH_REFINE_CAP", "384,192,128,64"
                 ).split(",")
             )
         ),
@@ -139,8 +146,10 @@ def main() -> None:
         # filter). The certification below verifies the true batch
         # describable count fits device-side before every timed run.
         # r5 sweep at b128: 480 -> 308.7, 464 -> 317.1, 448 -> 322.2
-        # fps (448 is <2% headroom — 464 balances headroom vs speed).
-        describe_capacity=int(os.environ.get("BENCH_DESCRIBE_CAP", "464")),
+        # fps. 448 is <2% headroom over the ~441 describable max, but the
+        # cert below fails the run loudly on overflow and the min=0
+        # keypoints/frame tripwire is printed every run — taken.
+        describe_capacity=int(os.environ.get("BENCH_DESCRIBE_CAP", "448")),
     )
     mesh = make_mesh(1, 1)
     pipe = FramePipeline(feature=feature, mesh=mesh)
