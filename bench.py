@@ -79,9 +79,13 @@ def main() -> None:
 
     # Per-layer candidate caps: per-candidate cost (uniformity, refine,
     # top_k's k) scales with the slot total, and bench-frame maxima at
-    # thr=20 are (~6.8k, 2.6k, 1.6k, 0.8k) per layer. BENCH_CANDS
-    # accepts an int or a comma list.
-    cands_env = os.environ.get("BENCH_CANDS", "8192,4096,2048,1024")
+    # thr=20 are (~6.8k, 2.6k, 1.6k, 0.8k) per layer — ~5-25% headroom
+    # at the defaults, certified below every run (the device cert
+    # aborts before timing on overflow). r5 sweep at b128:
+    # 8192,4096,2048,1024 -> 343.0, defaults -> 350.7 fps (min-of-3,
+    # together with the tighter refine caps). BENCH_CANDS accepts an
+    # int or a comma list.
+    cands_env = os.environ.get("BENCH_CANDS", "7168,3072,1792,1024")
     cands = (
         tuple(int(c) for c in cands_env.split(","))
         if "," in cands_env else int(cands_env)
@@ -125,9 +129,10 @@ def main() -> None:
         topk_block_r=int(os.environ.get("BENCH_TOPK_R", "96")),
         uniformity_block=int(os.environ.get("BENCH_UNIBLOCK", "256")),
         # Refine-tail slots (gather cost ~ slots; accepted counts on
-        # the bench frames are ~317/137/87/50 per layer -> 1.2-1.5x
+        # the bench frames are ~317/137/87/50 per layer -> 1.1-1.2x
         # headroom, certified below every run). r5 sweep at b128 with
-        # r=96: 768,384,256,128 -> 327.9, 384,192,128,64 -> 343.0 fps.
+        # r=96: 768,384,256,128 -> 327.9, 384,192,128,64 -> 343.0,
+        # 352,160,96,56 (with cands 7168,3072,1792,1024) -> 350.7 fps.
         # "0" disables; a default tuple only applies at its octaves=2
         # layer count.
         refine_capacity=(
@@ -136,7 +141,7 @@ def main() -> None:
             or (octaves != 2 and "BENCH_REFINE_CAP" not in os.environ)
             else tuple(
                 int(c) for c in os.environ.get(
-                    "BENCH_REFINE_CAP", "384,192,128,64"
+                    "BENCH_REFINE_CAP", "352,160,96,56"
                 ).split(",")
             )
         ),
