@@ -526,14 +526,16 @@ def _ast_detector_from_env():
     Per-layer candidate caps: detect cost scales ~linearly with the
     slot total (probe_ast_caps r4: 2048/layer = 1389 ms/b16, 512 =
     443). Bench-frame corner counts at thr=70 are (346, 276, 231,
-    110, 65, 30) max — the default caps keep ~2.1x headroom per layer
-    and are certified on the bench frames before timing.
+    110, 65, 30) max — the default caps keep ~1.4-1.6x headroom per
+    layer and are certified on the bench frames before timing (r5
+    sweep at b80: 768,576,512,256,128,64 -> 117.6,
+    512,384,320,160,96,48 + describe cap 384 -> 126.7 fps min-of-3).
     BENCH_AST_CANDS accepts an int or a comma list.
     """
     from ethzasl_brisk_tpu.pipeline import BriskFeatureDetector
 
     cands_env = os.environ.get(
-        "BENCH_AST_CANDS", "768,576,512,256,128,64"
+        "BENCH_AST_CANDS", "512,384,320,160,96,48"
     )
     cands = (
         tuple(int(c) for c in cands_env.split(","))
@@ -594,9 +596,11 @@ def main_ast(batch: int, iters: int) -> None:
         # frames below (true need 371/frame mean; cap sweep at b96:
         # 640 -> 57.9, 512 -> 66.2, 448 -> 70.0, 416 -> 71.7, 384 ->
         # 73.8 fps with 3.5% headroom, 352 DROPPED WHOLE FRAMES —
-        # caught by the cert). Default 400 keeps ~8% headroom.
+        # caught by the cert). The budget is batch-flat, so the
+        # per-frame MEAN (371) is what must fit; the subprocess cert
+        # verifies the exact batch total before every timed run.
         describe_capacity=int(
-            os.environ.get("BENCH_DESCRIBE_CAP", "400")
+            os.environ.get("BENCH_DESCRIBE_CAP", "384")
         ),
     )
     frames = jnp.asarray(bench_frames(batch))
